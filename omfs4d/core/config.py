@@ -1,0 +1,172 @@
+"""Typed configuration tree for the whole framework.
+
+The reference spreads configuration over three mechanisms (argparse per CLI,
+PowerShell param blocks forwarding tyro-dotted flags, Streamlit session state
+-- ref: run_full_pipeline_conda.ps1:16-46, app.py:56-89).  Here there is one
+dataclass tree with dotted-key CLI overrides, e.g.
+
+    python -m omfs4d.pipeline.cli run --video in.mp4 train.iterations=30000
+
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ClinicalConfig:
+    """CT/CBCT ingest + osteotomy defaults (ref: dicom_loader.py:109-168)."""
+
+    hu_threshold: float = 300.0        # bone HU (300 cancellous / 700 cortical)
+    smooth_iterations: int = 30
+    decimate_fraction: float = 0.5     # fraction of triangles to KEEP
+    label_upper: tuple = ()            # empty -> default ToothFairy3 upper set
+    label_lower: tuple = ()
+
+
+@dataclass
+class TrackConfig:
+    """Staged FLAME tracking (ref schedule: app.py:1279-1293)."""
+
+    n_shape: int = 300
+    n_expr: int = 100
+    landmark_source: str = "synthetic"   # synthetic | file | detector plugin
+    # Per-stage step counts, mirroring the reference's VHAP tuning surface
+    # (run_full_pipeline_conda.ps1:191-215).
+    steps_lmk_init_rigid: int = 300
+    steps_lmk_init_all: int = 300
+    steps_rgb_init_texture: int = 150
+    steps_rgb_init_all: int = 150
+    steps_rgb_sequential: int = 30       # per-frame
+    epochs_global: int = 2
+    lr: float = 1e-2
+    photometric: bool = True
+    use_static_offset: bool = True
+    temporal_smoothness: float = 1e-3
+    reg_shape: float = 1e-3
+    reg_expr: float = 1e-4
+    reg_jaw: float = 1e-3
+
+
+@dataclass
+class RenderConfig:
+    """Differentiable gaussian rasterizer settings."""
+
+    tile: int = 16                 # pixel tile edge (screen-space binning)
+    max_per_tile: int = 512        # capped per-tile gaussian list (fixed shape)
+    max_tiles_per_gaussian: int = 36
+    white_background: bool = True
+    use_pallas: str = "auto"       # auto | always | never
+
+
+@dataclass
+class TrainConfig:
+    """3DGS avatar training (ref flags: train_ghost.py:227-243)."""
+
+    iterations: int = 5000
+    resolution: int = -1
+    lr_position: float = 5e-4
+    lr_rotation: float = 1e-3
+    lr_scale: float = 5e-3
+    lr_opacity: float = 5e-2
+    lr_color: float = 2.5e-3
+    lambda_dssim: float = 0.2
+    densify_from: int = 500
+    densify_until_frac: float = 0.5
+    densify_interval: int = 300
+    densify_grad_threshold: float = 2e-4
+    opacity_reset_interval: int = 3000
+    prune_opacity: float = 5e-3
+    max_gaussians: int = 200_000
+    batch_frames: int = 1           # frames per step (data-parallel axis)
+    seed: int = 0
+    sh_degree: int = 0              # per-gaussian RGB (degree 0) for avatars
+
+
+@dataclass
+class PredictConfig:
+    """Surgical mm -> FLAME mapping (ref: render_surgery.py:35-141)."""
+
+    sensitivity: float = 1.0
+    scale_factor: float = 0.001     # mm -> FLAME units  (SCALE_FACTOR)
+    fps: int = 30
+    rig_mode: str = "flame_only"    # flame_only | hybrid_full_head
+    deterministic_max_frames: int = 24
+
+
+@dataclass
+class ParallelConfig:
+    """Device mesh layout.  data shards frames, tile shards the screen grid."""
+
+    data_axis: int = -1            # -1 = all devices on the data axis
+    tile_axis: int = 1
+
+
+@dataclass
+class PipelineConfig:
+    target_size: int = 512
+    max_frames: int = 0            # 0 = all
+    train_fraction: float = 0.9    # 90/10 split (preprocess_video.py:403-406)
+    min_train_frames: int = 50     # quality gate (train_ghost.py:110)
+
+
+@dataclass
+class Config:
+    clinical: ClinicalConfig = field(default_factory=ClinicalConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    predict: PredictConfig = field(default_factory=PredictConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        return tuple(json.loads(value)) if value.startswith("[") else tuple(
+            type(current[0])(v) if current else v for v in value.split(",") if v
+        )
+    return value
+
+
+def apply_override(cfg: Config, dotted_key: str, value: str) -> None:
+    """Apply one `a.b.c=value` override in place."""
+    parts = dotted_key.split(".")
+    obj: Any = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown config group: {dotted_key!r}")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key: {dotted_key!r}")
+    setattr(obj, leaf, _coerce(value, getattr(obj, leaf)))
+
+
+def config_from_args(args: list[str]) -> tuple[Config, list[str]]:
+    """Split ``key=value`` overrides out of an argv list; return (cfg, rest)."""
+    cfg = Config()
+    rest = []
+    for a in args:
+        if "=" in a and not a.startswith("-"):
+            k, v = a.split("=", 1)
+            apply_override(cfg, k, v)
+        else:
+            rest.append(a)
+    return cfg, rest
