@@ -1,0 +1,138 @@
+"""Mesh-bound 3D gaussians (the avatar representation).
+
+Re-designs GaussianAvatars' rigging concept (gaussians parameterized in the
+local tangent frame of a parent FLAME triangle so they ride mesh animation;
+invoked by the reference with `--bind_to_mesh`, ref: train_ghost.py:232,
+render_surgery.py:294) as fixed-capacity JAX pytrees:
+
+  * every gaussian stores LOCAL (triangle-frame) position / rotation / scale;
+  * `bind_to_mesh` maps them to world space given posed FLAME vertices —
+    a fully vectorized gather + batched matmul (no data-dependent shapes);
+  * capacity is static (`alive` mask) so densify/prune never change shapes
+    and the training step stays jit-compiled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GaussianAvatar(NamedTuple):
+    """Fixed-capacity gaussian cloud bound to mesh triangles (pytree)."""
+
+    parent_face: jnp.ndarray   # (N,) int32 — triangle each gaussian rides
+    mu_local: jnp.ndarray      # (N, 3) position in the triangle frame
+    quat_local: jnp.ndarray    # (N, 4) rotation in the triangle frame (wxyz)
+    log_scale: jnp.ndarray     # (N, 3) log scale relative to triangle size
+    opacity_logit: jnp.ndarray # (N,)
+    color: jnp.ndarray         # (N, 3) rgb in [0, 1] via sigmoid at render
+    alive: jnp.ndarray         # (N,) bool — capacity mask
+
+    @property
+    def capacity(self) -> int:
+        return self.mu_local.shape[0]
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def triangle_frames(verts: jnp.ndarray, faces: jnp.ndarray):
+    """Per-face orthonormal frame, centroid and scale.
+
+    verts (V, 3), faces (F, 3) ->
+      R (F, 3, 3) columns = [edge dir, in-plane perp, normal]
+      t (F, 3) centroid,  s (F,) scale (mean edge length)
+    """
+    tri = verts[faces]                         # (F, 3, 3)
+    t = tri.mean(axis=1)
+    e0 = tri[:, 1] - tri[:, 0]
+    e1 = tri[:, 2] - tri[:, 0]
+    n = jnp.cross(e0, e1)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    x = e0 / (jnp.linalg.norm(e0, axis=-1, keepdims=True) + 1e-12)
+    y = jnp.cross(n, x)
+    R = jnp.stack([x, y, n], axis=-1)          # (F, 3, 3)
+    e2 = tri[:, 2] - tri[:, 1]
+    s = (
+        jnp.linalg.norm(e0, axis=-1)
+        + jnp.linalg.norm(e1, axis=-1)
+        + jnp.linalg.norm(e2, axis=-1)
+    ) / 3.0
+    return R, t, s
+
+
+def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
+    """Local -> world gaussian parameters for one posed mesh.
+
+    Returns (means (N, 3), rotations (N, 3, 3), scales (N, 3),
+             opacities (N,), colors (N, 3)).
+    """
+    R_f, t_f, s_f = triangle_frames(verts, faces)
+    Rp = R_f[g.parent_face]                    # (N, 3, 3)
+    tp = t_f[g.parent_face]
+    sp = s_f[g.parent_face]
+
+    means = tp + sp[:, None] * jnp.einsum("nij,nj->ni", Rp, g.mu_local)
+    rot = Rp @ quat_to_matrix(g.quat_local)
+    scales = sp[:, None] * jnp.exp(g.log_scale)
+    opac = jax.nn.sigmoid(g.opacity_logit) * g.alive.astype(jnp.float32)
+    colors = jax.nn.sigmoid(g.color)
+    return means, rot, scales, opac, colors
+
+
+def inverse_sigmoid(x: float) -> float:
+    return float(np.log(x / (1.0 - x)))
+
+
+def init_gaussians_on_mesh(
+    faces: np.ndarray,
+    capacity: int,
+    init_opacity: float = 0.1,
+    init_color: float = 0.5,
+    init_scale: float = 0.5,
+    seed: int = 0,
+) -> GaussianAvatar:
+    """One gaussian per triangle (GaussianAvatars' binding init), padded to
+    a fixed capacity for in-jit densification."""
+    F = len(faces)
+    n = min(F, capacity)
+    rng = np.random.default_rng(seed)
+
+    parent = np.zeros(capacity, dtype=np.int32)
+    parent[:n] = np.arange(n) % F
+    quat = np.zeros((capacity, 4), dtype=np.float32)
+    quat[:, 0] = 1.0
+    mu = np.zeros((capacity, 3), dtype=np.float32)
+    log_scale = np.full((capacity, 3), np.log(init_scale), dtype=np.float32)
+    opac = np.full((capacity,), inverse_sigmoid(init_opacity), dtype=np.float32)
+    color = np.full((capacity, 3), inverse_sigmoid(np.clip(init_color, 1e-3, 1 - 1e-3)),
+                    dtype=np.float32)
+    color[:n] += rng.normal(0, 0.05, size=(n, 3)).astype(np.float32)
+    alive = np.zeros(capacity, dtype=bool)
+    alive[:n] = True
+
+    return GaussianAvatar(
+        parent_face=jnp.asarray(parent),
+        mu_local=jnp.asarray(mu),
+        quat_local=jnp.asarray(quat),
+        log_scale=jnp.asarray(log_scale),
+        opacity_logit=jnp.asarray(opac),
+        color=jnp.asarray(color),
+        alive=jnp.asarray(alive),
+    )
+
+
+def n_alive(g: GaussianAvatar) -> jnp.ndarray:
+    return g.alive.sum()

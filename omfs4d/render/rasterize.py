@@ -1,0 +1,285 @@
+"""Differentiable 3D Gaussian Splatting rasterizer — TPU-first design.
+
+Replaces the CUDA `diff-gaussian-rasterization` extension the reference
+drives through GaussianAvatars subprocesses (ref: train_ghost.py:227-243,
+render_surgery.py:289-301).  The design maps the classic
+project -> tile-bin -> depth-sort -> alpha-composite pipeline onto XLA/TPU
+primitives instead of translating the CUDA kernels:
+
+  * projection/culling: vectorized EWA math (omfs4d.ops.camera), pure XLA;
+  * binning: (gaussian, tile) pair expansion with a static per-gaussian tile
+    cap, one `jax.lax.sort` by (tile, depth) — XLA's sort, no atomics;
+  * per-tile lists: fixed capacity `max_per_tile`; the lexicographic sort
+    guarantees the K *nearest* gaussians are kept on overflow;
+  * compositing: for each tile, alphas form a (K, P) matrix in on-chip
+    memory; transmittance is an exclusive cumulative product along K and the
+    final color is one (P, K) @ (K, 3) matmul — MXU work, not a scalar loop.
+    front-to-back semantics match the CUDA rasterizer (alpha cap 0.99,
+    1/255 cutoff).
+
+The compositing stage has two interchangeable backends:
+  * `composite_reference` — pure jnp (autodiff; runs everywhere), chunked
+    with `lax.map` to bound memory;
+  * the Pallas TPU kernel in omfs4d.render.pallas_kernels with a custom VJP
+    (used automatically on TPU).
+
+Everything is fixed-shape: image size, tile grid, pair capacity and
+per-tile capacity are static, so one compilation serves the whole training
+run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from omfs4d.ops.camera import Camera, project_gaussians
+
+ALPHA_CUTOFF = 1.0 / 255.0
+ALPHA_CAP = 0.99
+
+
+class TileBinning(NamedTuple):
+    """Static-shape per-tile gaussian lists."""
+
+    tile_lists: jnp.ndarray   # (num_tiles, K) int32 gaussian indices (pad 0)
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 — valid entries per tile
+    overflow: jnp.ndarray     # () int32 — pairs dropped by the K cap
+
+
+def bin_gaussians(
+    proj: dict,
+    opacity: jnp.ndarray,
+    width: int,
+    height: int,
+    tile: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 36,
+) -> TileBinning:
+    """Build depth-sorted per-tile gaussian lists.
+
+    A gaussian covers the tiles intersecting its 3-sigma screen box; each
+    gaussian may claim at most `max_tiles_per_gaussian` tiles (enumerated as
+    a static (kh, kw) window — large gaussians get their nearest tiles).
+    """
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    num_tiles = grid_w * grid_h
+
+    uv, radius, depth = proj["uv"], proj["radius"], proj["depth"]
+    n = uv.shape[0]
+
+    visible = (
+        proj["in_front"]
+        & (radius > 0)
+        & (opacity > ALPHA_CUTOFF)
+        & (uv[:, 0] + radius > 0)
+        & (uv[:, 0] - radius < width)
+        & (uv[:, 1] + radius > 0)
+        & (uv[:, 1] - radius < height)
+    )
+
+    x0 = jnp.clip(jnp.floor((uv[:, 0] - radius) / tile), 0, grid_w - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((uv[:, 0] + radius) / tile), 0, grid_w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((uv[:, 1] - radius) / tile), 0, grid_h - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((uv[:, 1] + radius) / tile), 0, grid_h - 1).astype(jnp.int32)
+
+    # static (kh, kw) enumeration window
+    kw = int(max(1, round(max_tiles_per_gaussian ** 0.5)))
+    kh = (max_tiles_per_gaussian + kw - 1) // kw
+    dy = jnp.arange(kh, dtype=jnp.int32)
+    dx = jnp.arange(kw, dtype=jnp.int32)
+    ty = y0[:, None, None] + dy[None, :, None]            # (n, kh, 1)
+    tx = x0[:, None, None] + dx[None, None, :]            # (n, 1, kw)
+    pair_ok = (
+        visible[:, None, None]
+        & (ty <= y1[:, None, None])
+        & (tx <= x1[:, None, None])
+    )                                                      # (n, kh, kw)
+    tile_id = ty * grid_w + tx                             # (n, kh, kw)
+
+    flat_tile = jnp.where(pair_ok, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
+    flat_depth = jnp.broadcast_to(depth[:, None, None], pair_ok.shape).reshape(-1)
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None, None], pair_ok.shape
+    ).reshape(-1)
+
+    # lexicographic sort by (tile, depth): nearest-first inside each tile
+    s_tile, _, s_idx = jax.lax.sort(
+        (flat_tile, flat_depth, flat_idx), num_keys=2
+    )
+
+    # rank within tile = position - first occurrence of this tile id
+    first = jnp.searchsorted(s_tile, s_tile, side="left")
+    rank = jnp.arange(s_tile.shape[0], dtype=jnp.int32) - first.astype(jnp.int32)
+
+    in_range = (s_tile < num_tiles) & (rank < max_per_tile)
+    flat_pos = jnp.where(in_range, s_tile * max_per_tile + rank, num_tiles * max_per_tile)
+    tile_lists = jnp.zeros((num_tiles * max_per_tile,), jnp.int32).at[flat_pos].set(
+        s_idx, mode="drop"
+    ).reshape(num_tiles, max_per_tile)
+
+    counts_raw = jnp.zeros((num_tiles + 1,), jnp.int32).at[flat_tile].add(1)[:num_tiles]
+    tile_counts = jnp.minimum(counts_raw, max_per_tile)
+    overflow = jnp.sum(jnp.maximum(counts_raw - max_per_tile, 0))
+
+    return TileBinning(tile_lists, tile_counts, overflow)
+
+
+def _tile_pixel_centers(grid_w: int, grid_h: int, tile: int) -> jnp.ndarray:
+    """(num_tiles, tile*tile, 2) pixel-center coordinates per tile."""
+    ty, tx = jnp.meshgrid(jnp.arange(grid_h), jnp.arange(grid_w), indexing="ij")
+    py, px = jnp.meshgrid(jnp.arange(tile), jnp.arange(tile), indexing="ij")
+    x = tx.reshape(-1, 1) * tile + px.reshape(1, -1) + 0.5   # (T, P)
+    y = ty.reshape(-1, 1) * tile + py.reshape(1, -1) + 0.5
+    return jnp.stack([x, y], axis=-1).astype(jnp.float32)    # (T, P, 2)
+
+
+def composite_reference(
+    uv: jnp.ndarray,          # (N, 2)
+    conic: jnp.ndarray,       # (N, 3)
+    colors: jnp.ndarray,      # (N, 3)
+    opacity: jnp.ndarray,     # (N,)
+    binning: TileBinning,
+    width: int,
+    height: int,
+    tile: int = 16,
+    chunk_tiles: int = 64,
+):
+    """Pure-JAX tile compositing.  Returns (image (H, W, 3), alpha (H, W))."""
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    num_tiles = grid_w * grid_h
+    P = tile * tile
+    K = binning.tile_lists.shape[1]
+
+    pix = _tile_pixel_centers(grid_w, grid_h, tile)          # (T, P, 2)
+
+    def tile_fn(args):
+        idx, count, pix_t = args                             # (K,), (), (P, 2)
+        uvk = uv[idx]                                         # (K, 2)
+        conick = conic[idx]                                   # (K, 3)
+        ok = opacity[idx]                                     # (K,)
+        ck = colors[idx]                                      # (K, 3)
+        valid = (jnp.arange(K) < count)[:, None]              # (K, 1)
+
+        d = pix_t[None, :, :] - uvk[:, None, :]               # (K, P, 2)
+        dx, dyv = d[..., 0], d[..., 1]
+        power = (
+            -0.5 * (conick[:, 0:1] * dx * dx + conick[:, 2:3] * dyv * dyv)
+            - conick[:, 1:2] * dx * dyv
+        )
+        alpha = jnp.minimum(ok[:, None] * jnp.exp(power), ALPHA_CAP)
+        alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
+        alpha = jnp.where(valid, alpha, 0.0)                  # (K, P)
+
+        trans = jnp.cumprod(1.0 - alpha, axis=0)
+        t_excl = jnp.concatenate([jnp.ones((1, P)), trans[:-1]], axis=0)
+        w = alpha * t_excl                                    # (K, P)
+        color = jnp.einsum("kp,kc->pc", w, ck,
+                           preferred_element_type=jnp.float32)  # (P, 3) MXU
+        return color, 1.0 - trans[-1]
+
+    pad_tiles = (-num_tiles) % chunk_tiles
+    lists = jnp.pad(binning.tile_lists, ((0, pad_tiles), (0, 0)))
+    counts = jnp.pad(binning.tile_counts, (0, pad_tiles))
+    pix_pad = jnp.pad(pix, ((0, pad_tiles), (0, 0), (0, 0)))
+    n_chunks = (num_tiles + pad_tiles) // chunk_tiles
+
+    colors_out, alphas_out = jax.lax.map(
+        jax.vmap(tile_fn),
+        (
+            lists.reshape(n_chunks, chunk_tiles, K),
+            counts.reshape(n_chunks, chunk_tiles),
+            pix_pad.reshape(n_chunks, chunk_tiles, P, 2),
+        ),
+    )
+    colors_out = colors_out.reshape(-1, P, 3)[:num_tiles]
+    alphas_out = alphas_out.reshape(-1, P)[:num_tiles]
+
+    img = colors_out.reshape(grid_h, grid_w, tile, tile, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_h * tile, grid_w * tile, 3)
+    alp = alphas_out.reshape(grid_h, grid_w, tile, tile)
+    alp = alp.transpose(0, 2, 1, 3).reshape(grid_h * tile, grid_w * tile)
+    return img[:height, :width], alp[:height, :width]
+
+
+def _use_pallas(mode: str) -> bool:
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "max_per_tile",
+                     "max_tiles_per_gaussian", "backend"),
+)
+def rasterize(
+    means: jnp.ndarray,        # (N, 3) world
+    rotations: jnp.ndarray,    # (N, 3, 3)
+    scales: jnp.ndarray,       # (N, 3)
+    opacity: jnp.ndarray,      # (N,)
+    colors: jnp.ndarray,       # (N, 3)
+    camera: Camera,
+    width: int,
+    height: int,
+    background: jnp.ndarray | None = None,
+    tile: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 36,
+    backend: str = "auto",
+):
+    """Full differentiable rasterization of one frame.
+
+    Returns (image (H, W, 3), aux dict with alpha/overflow).
+    Gradients flow to means/rotations/scales/opacity/colors; the binning
+    index computation is piecewise-constant and excluded via stop_gradient.
+    """
+    proj = project_gaussians(camera, means, rotations, scales)
+
+    binning = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        jax.lax.stop_gradient(opacity),
+        width, height, tile, max_per_tile, max_tiles_per_gaussian,
+    )
+
+    if _use_pallas(backend):
+        from omfs4d.render.pallas_kernels import composite_pallas
+        img, alpha = composite_pallas(
+            proj["uv"], proj["conic"], colors, opacity, binning,
+            width, height, tile,
+        )
+    else:
+        img, alpha = composite_reference(
+            proj["uv"], proj["conic"], colors, opacity, binning,
+            width, height, tile,
+        )
+
+    if background is None:
+        background = jnp.ones((3,), jnp.float32)
+    img = img + (1.0 - alpha)[..., None] * background
+    return img, {"alpha": alpha, "overflow": binning.overflow}
+
+
+def render_avatar_frame(
+    gaussians,
+    flame_verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    camera: Camera,
+    width: int,
+    height: int,
+    background: jnp.ndarray | None = None,
+    **kw,
+):
+    """Bind mesh-rigged gaussians to a posed FLAME mesh and rasterize."""
+    from omfs4d.models.gaussians import bind_to_mesh
+
+    means, rot, scales, opac, cols = bind_to_mesh(gaussians, flame_verts, faces)
+    return rasterize(means, rot, scales, opac, cols, camera, width, height,
+                     background=background, **kw)
