@@ -1,0 +1,278 @@
+"""Pallas TPU kernels for gaussian tile compositing (forward + custom VJP).
+
+This is the TPU replacement for the CUDA `diff-gaussian-rasterization`
+per-tile loops.  Instead of a sequential front-to-back loop with early
+termination (a warp pattern), compositing is reformulated as dense linear
+algebra so it runs on the MXU:
+
+    alpha[p, k]  = min(o_k * exp(-0.5 d^T conic d), 0.99)        (VPU)
+    lg = log1p(-alpha)
+    S_excl = lg @ U_strict          # exclusive prefix-sum over k  (MXU)
+    w = alpha * exp(S_excl)         # per-gaussian compositing weight
+    color[c, p] = sum_k color[c, k] * w[p, k]                     (MXU)
+    alpha_out[p] = 1 - exp(sum_k lg[p, k])
+
+The backward pass recomputes alpha from the inputs (no (K, P) residuals in
+HBM) and reduces cotangents with the same triangular-matmul trick — the
+suffix sum that the CUDA kernel accumulates back-to-front is one matmul
+against the strict *lower* triangle.
+
+Layouts are chosen for the (sublane, lane) = (8, 128) tiling:
+  * per-tile gaussian parameters are packed as (16, K): 16 param rows
+    (ux, uy, conic a/b/c, rgb, opacity, 7 pad) x K lanes;
+  * the alpha matrix lives as (P, K): P = tile^2 pixel sublanes, K lanes.
+
+Per-tile VMEM at K=512, tile=16 (P=256): ~2.5 MB forward, ~4 MB backward —
+comfortably inside the 16 MB budget, so the whole composite never touches
+HBM between stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_CUTOFF = 1.0 / 255.0
+ALPHA_CAP = 0.99
+NEG_INF = -1e30
+
+# packed parameter row indices
+ROW_UX, ROW_UY = 0, 1
+ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
+ROW_R, ROW_G, ROW_B = 5, 6, 7
+ROW_OPAC = 8
+N_ROWS = 16
+
+
+def _pixel_grid(tile: int, grid_w: int, t):
+    """(P, 1) pixel-center x and y for tile index t."""
+    ty = t // grid_w
+    tx = t % grid_w
+    py = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    px = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    x = (tx * tile + px).reshape(tile * tile, 1).astype(jnp.float32) + 0.5
+    y = (ty * tile + py).reshape(tile * tile, 1).astype(jnp.float32) + 0.5
+    return x, y
+
+
+def _alpha_matrix(packed, count, tile: int, grid_w: int, K: int):
+    """Recompute the (P, K) effective alpha matrix for one tile."""
+    t = pl.program_id(0)
+    x, y = _pixel_grid(tile, grid_w, t)              # (P, 1)
+
+    ux = packed[ROW_UX : ROW_UX + 1, :]              # (1, K)
+    uy = packed[ROW_UY : ROW_UY + 1, :]
+    ca = packed[ROW_CA : ROW_CA + 1, :]
+    cb = packed[ROW_CB : ROW_CB + 1, :]
+    cc = packed[ROW_CC : ROW_CC + 1, :]
+    o = packed[ROW_OPAC : ROW_OPAC + 1, :]
+
+    dx = x - ux                                       # (P, K)
+    dy = y - uy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    valid = k_ids < count                             # (1, K)
+    power = jnp.where(valid, power, NEG_INF)
+
+    a_full = o * jnp.exp(power)
+    capped = a_full > ALPHA_CAP
+    a = jnp.where(capped, ALPHA_CAP, a_full)
+    cut = a < ALPHA_CUTOFF
+    a = jnp.where(cut, 0.0, a)
+    grad_ok = jnp.logical_not(jnp.logical_or(capped, cut)) & valid
+    return a, a_full, grad_ok, dx, dy
+
+
+def _fwd_kernel(counts_ref, packed_ref, color_out_ref, alpha_out_ref,
+                *, tile: int, grid_w: int, K: int):
+    packed = packed_ref[0]                            # (16, K)
+    count = counts_ref[0]
+    P = tile * tile
+
+    a, _, _, _, _ = _alpha_matrix(packed, count, tile, grid_w, K)
+    lg = jnp.log1p(-a)                                # (P, K)
+
+    # exclusive prefix sum over k: S[p, k] = sum_{j < k} lg[p, j]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    u_strict = (row < col).astype(jnp.float32)
+    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+
+    w = a * jnp.exp(s_excl)                           # (P, K)
+    colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
+    out = jax.lax.dot_general(
+        colors, w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (3, P)
+    color_out_ref[0] = out
+    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+    alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
+
+
+def _bwd_kernel(counts_ref, packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
+                *, tile: int, grid_w: int, K: int):
+    packed = packed_ref[0]                            # (16, K)
+    count = counts_ref[0]
+    P = tile * tile
+
+    a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, count, tile, grid_w, K)
+    one_minus = jnp.maximum(1.0 - a, 1e-6)
+    lg = jnp.log(one_minus)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    u_strict = (row < col).astype(jnp.float32)
+    l_strict = (row > col).astype(jnp.float32)
+
+    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+    t_excl = jnp.exp(s_excl)
+    w = a * t_excl                                    # (P, K)
+
+    dcol = dcol_ref[0]                                # (3, P)
+    dalpha = dalpha_ref[0]                            # (1, P)
+    colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
+
+    # dcolor[c, k] = sum_p dcol[c, p] w[p, k]
+    dcolors = jnp.dot(dcol, w, preferred_element_type=jnp.float32)   # (3, K)
+
+    # dw[p, k] = sum_c dcol[c, p] colors[c, k]
+    dw = jax.lax.dot_general(
+        dcol, colors,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (P, K)
+
+    # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]
+    m = dw * w
+    suffix = jnp.dot(m, l_strict, preferred_element_type=jnp.float32)
+
+    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+    t_total = jnp.exp(s_total)
+    dA = dalpha.reshape(P, 1)                          # (P, 1)
+
+    da = dw * t_excl - suffix / one_minus + dA * t_total / one_minus
+    da = jnp.where(grad_ok, da, 0.0)
+
+    o = packed[ROW_OPAC : ROW_OPAC + 1, :]            # (1, K)
+    e = a_full / jnp.maximum(o, 1e-12)                # exp(power), recomputed
+    do = jnp.sum(da * e, axis=0, keepdims=True)       # (1, K)
+    dq = da * a_full                                   # (P, K)
+
+    ca = packed[ROW_CA : ROW_CA + 1, :]
+    cb = packed[ROW_CB : ROW_CB + 1, :]
+    cc = packed[ROW_CC : ROW_CC + 1, :]
+    dux = jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
+    duy = jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
+    dca = jnp.sum(dq * (-0.5 * dx * dx), axis=0, keepdims=True)
+    dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
+    dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
+
+    zeros = jnp.zeros((N_ROWS - 9, K), jnp.float32)
+    dpacked_ref[0] = jnp.concatenate(
+        [dux, duy, dca, dcb, dcc, dcolors, do, zeros], axis=0
+    )
+
+
+def _call_fwd(packed, counts, tile: int, grid_w: int, interpret: bool):
+    T, _, K = packed.shape
+    P = tile * tile
+    grid = (T,)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tile=tile, grid_w=grid_w, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, packed)
+
+
+def _call_bwd(packed, counts, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
+    T, _, K = packed.shape
+    P = tile * tile
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile, grid_w=grid_w, K=K),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N_ROWS, K), jnp.float32),
+        interpret=interpret,
+    )(counts, packed, dcol, dalpha)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_tiles(packed, counts, tile: int, grid_w: int, interpret: bool):
+    """(T, 16, K) packed params + (T,) counts -> ((T, 3, P), (T, 1, P))."""
+    return _call_fwd(packed, counts, tile, grid_w, interpret)
+
+
+def _composite_fwd(packed, counts, tile, grid_w, interpret):
+    out = _call_fwd(packed, counts, tile, grid_w, interpret)
+    return out, (packed, counts)
+
+
+def _composite_bwd(tile, grid_w, interpret, res, cot):
+    packed, counts = res
+    dcol, dalpha = cot
+    dpacked = _call_bwd(packed, counts, dcol, dalpha, tile, grid_w, interpret)
+    return dpacked, None
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16):
+    """Drop-in replacement for composite_reference on TPU.
+
+    The per-tile parameter gather stays in XLA (its transpose is the
+    scatter-add the CUDA backward does with atomics); the Pallas kernel does
+    the math-dense compositing.
+    """
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    num_tiles = grid_w * grid_h
+    idx = binning.tile_lists                          # (T, K)
+    T, K = idx.shape
+    P = tile * tile
+
+    g_uv = uv[idx]                                    # (T, K, 2)
+    g_conic = conic[idx]                              # (T, K, 3)
+    g_color = colors[idx]                             # (T, K, 3)
+    g_opac = opacity[idx]                             # (T, K)
+    packed = jnp.concatenate([
+        jnp.swapaxes(g_uv, 1, 2),
+        jnp.swapaxes(g_conic, 1, 2),
+        jnp.swapaxes(g_color, 1, 2),
+        g_opac[:, None, :],
+        jnp.zeros((T, N_ROWS - 9, K), jnp.float32),
+    ], axis=1)
+
+    interpret = jax.default_backend() != "tpu"
+    col, alp = composite_tiles(packed, binning.tile_counts.astype(jnp.int32),
+                               tile, grid_w, interpret)
+
+    img = col.reshape(grid_h, grid_w, 3, tile, tile)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(grid_h * tile, grid_w * tile, 3)
+    alpha = alp.reshape(grid_h, grid_w, tile, tile)
+    alpha = alpha.transpose(0, 2, 1, 3).reshape(grid_h * tile, grid_w * tile)
+    return img[:height, :width], alpha[:height, :width]

@@ -1,0 +1,76 @@
+"""Pallas compositing kernel vs the pure-JAX reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omfs4d.ops.camera import look_at_camera, project_gaussians
+from omfs4d.render.rasterize import bin_gaussians, composite_reference
+from omfs4d.render.pallas_kernels import composite_pallas
+from tests.test_rasterize import random_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cam = look_at_camera(eye=(0, 0, -2.5), target=(0, 0, 0), fx=150.0,
+                         width=48, height=32)
+    means, rot, scales, opacity, colors = random_scene(40, seed=7)
+    proj = project_gaussians(cam, jnp.asarray(means), jnp.asarray(rot),
+                             jnp.asarray(scales))
+    binning = bin_gaussians(proj, jnp.asarray(opacity), 48, 32,
+                            tile=16, max_per_tile=64)
+    return proj, binning, jnp.asarray(opacity), jnp.asarray(colors)
+
+
+def test_forward_matches_reference(scene):
+    proj, binning, opacity, colors = scene
+    img_p, alpha_p = composite_pallas(proj["uv"], proj["conic"], colors,
+                                      opacity, binning, 48, 32, tile=16)
+    img_r, alpha_r = composite_reference(proj["uv"], proj["conic"], colors,
+                                         opacity, binning, 48, 32, tile=16)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_reference(scene):
+    proj, binning, opacity, colors = scene
+    target = jnp.zeros((32, 48, 3))
+
+    def loss(fn, uv, conic, cols, opac):
+        img, alpha = fn(uv, conic, cols, opac, binning, 48, 32, tile=16)
+        return jnp.sum((img - target) ** 2) + 0.3 * jnp.sum(alpha ** 2)
+
+    args = (proj["uv"], proj["conic"], colors, opacity)
+    g_p = jax.grad(lambda *a: loss(composite_pallas, *a), argnums=(0, 1, 2, 3))(*args)
+    g_r = jax.grad(lambda *a: loss(composite_reference, *a), argnums=(0, 1, 2, 3))(*args)
+    names = ["uv", "conic", "colors", "opacity"]
+    for n, a, b in zip(names, g_p, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=f"grad mismatch for {n}")
+
+
+def test_gradcheck_finite_difference(scene):
+    """Spot-check the custom VJP against finite differences on opacity."""
+    proj, binning, opacity, colors = scene
+
+    def loss(opac):
+        img, _ = composite_pallas(proj["uv"], proj["conic"], colors, opac,
+                                  binning, 48, 32, tile=16)
+        return jnp.sum(img * jnp.linspace(0, 1, 48)[None, :, None])
+
+    g = np.asarray(jax.grad(loss)(opacity))
+    rng = np.random.default_rng(0)
+    for i in rng.choice(len(opacity), size=4, replace=False):
+        eps = 1e-3
+        op = np.asarray(opacity).copy()
+        op[i] += eps
+        lp = float(loss(jnp.asarray(op)))
+        op[i] -= 2 * eps
+        lm = float(loss(jnp.asarray(op)))
+        fd = (lp - lm) / (2 * eps)
+        assert abs(fd - g[i]) < 2e-2 * max(abs(fd), 1.0), (i, fd, g[i])
