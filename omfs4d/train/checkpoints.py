@@ -1,0 +1,110 @@
+"""Checkpoint save/restore (orbax) + gaussian PLY snapshots.
+
+Artifact layout mirrors the reference's training outputs so downstream
+tooling matches: `point_cloud/iteration_N/point_cloud.ply` + checkpoints
+(ref consumers: render_surgery.py:269-287, validation_reporting.py:48-63).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from omfs4d.io.ply import save_ply, load_ply
+from omfs4d.models.gaussians import GaussianAvatar
+
+
+def save_state(path: str | Path, state) -> Path:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+    return path
+
+
+def restore_state(path: str | Path, template=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(Path(path).resolve())
+    if template is not None:
+        leaves_t, treedef = jax.tree_util.tree_flatten(template)
+        leaves_r = jax.tree_util.tree_leaves(restored)
+        return jax.tree_util.tree_unflatten(treedef, leaves_r)
+    return restored
+
+
+def latest_iteration(output_dir: str | Path) -> int | None:
+    """Highest `point_cloud/iteration_*` (ref behavior:
+    render_surgery.py:269-287)."""
+    pc = Path(output_dir) / "point_cloud"
+    if not pc.is_dir():
+        return None
+    iters = []
+    for d in pc.iterdir():
+        if d.name.startswith("iteration_"):
+            try:
+                iters.append(int(d.name.split("_")[1]))
+            except ValueError:
+                pass
+    return max(iters) if iters else None
+
+
+def export_point_cloud(path: str | Path, gaussians: GaussianAvatar):
+    """Write the gaussian parameters as a PLY point cloud (local frame +
+    attributes) — loadable by `load_point_cloud`."""
+    g = jax.tree_util.tree_map(np.asarray, gaussians)
+    alive = g.alive
+    props = {
+        "x": g.mu_local[alive, 0],
+        "y": g.mu_local[alive, 1],
+        "z": g.mu_local[alive, 2],
+        "parent_face": g.parent_face[alive].astype(np.int32),
+        "quat_w": g.quat_local[alive, 0],
+        "quat_x": g.quat_local[alive, 1],
+        "quat_y": g.quat_local[alive, 2],
+        "quat_z": g.quat_local[alive, 3],
+        "log_scale_x": g.log_scale[alive, 0],
+        "log_scale_y": g.log_scale[alive, 1],
+        "log_scale_z": g.log_scale[alive, 2],
+        "opacity_logit": g.opacity_logit[alive],
+        "color_r": g.color[alive, 0],
+        "color_g": g.color[alive, 1],
+        "color_b": g.color[alive, 2],
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    save_ply(path, props)
+
+
+def load_point_cloud(path: str | Path, capacity: int | None = None) -> GaussianAvatar:
+    import jax.numpy as jnp
+
+    v = load_ply(path)["vertex"]
+    n = len(v["x"])
+    cap = capacity or n
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, dtype=x.dtype)
+        out[:n] = x
+        return out
+
+    mu = np.stack([v["x"], v["y"], v["z"]], 1).astype(np.float32)
+    quat = np.stack([v["quat_w"], v["quat_x"], v["quat_y"], v["quat_z"]], 1).astype(np.float32)
+    ls = np.stack([v["log_scale_x"], v["log_scale_y"], v["log_scale_z"]], 1).astype(np.float32)
+    col = np.stack([v["color_r"], v["color_g"], v["color_b"]], 1).astype(np.float32)
+    alive = np.zeros(cap, bool)
+    alive[:n] = True
+    quat_pad = pad(quat)
+    quat_pad[n:, 0] = 1.0
+    return GaussianAvatar(
+        parent_face=jnp.asarray(pad(v["parent_face"].astype(np.int32))),
+        mu_local=jnp.asarray(pad(mu)),
+        quat_local=jnp.asarray(quat_pad),
+        log_scale=jnp.asarray(pad(ls)),
+        opacity_logit=jnp.asarray(pad(v["opacity_logit"].astype(np.float32))),
+        color=jnp.asarray(pad(col)),
+        alive=jnp.asarray(alive),
+    )

@@ -1,0 +1,372 @@
+"""3DGS avatar trainer — one jitted step, fixed-capacity densification.
+
+Replaces the GaussianAvatars training subprocess the reference drives
+(ref: train_ghost.py:190-271).  TPU-first structure:
+
+  * the entire iteration (FLAME-bound gaussian -> rasterize -> L1+D-SSIM ->
+    Adam update) is ONE jitted function; frames in a batch are vmapped and,
+    on a device mesh, sharded over the `data` axis with psum'd gradients;
+  * densify/clone/split/prune never change array shapes: gaussians live in
+    fixed-capacity arrays with an `alive` mask, so the step stays compiled
+    across densification (the CUDA trainer reallocates tensors instead);
+  * densification pressure uses the screen-space positional gradient, read
+    through a zero-valued `uv_probe` input on the rasterizer;
+  * checkpoints at N/4, N/2, N (ref: train_ghost.py:217-221) via orbax +
+    a point_cloud/iteration_N PLY snapshot for artifact parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from omfs4d.core.config import TrainConfig
+from omfs4d.core.logging import EventLogger, get_logger
+from omfs4d.models.gaussians import (
+    GaussianAvatar,
+    bind_to_mesh,
+    init_gaussians_on_mesh,
+    inverse_sigmoid,
+)
+from omfs4d.ops.camera import Camera, project_gaussians
+from omfs4d.render.rasterize import bin_gaussians, composite_reference
+from omfs4d.train.losses import dssim_loss, l1_loss, psnr
+
+log = get_logger("train")
+
+
+class TrainState(NamedTuple):
+    gaussians: GaussianAvatar
+    opt_state: object
+    step: jnp.ndarray
+    grad_accum: jnp.ndarray    # (N,) summed screen-space grad norms
+    grad_count: jnp.ndarray    # (N,) observations
+
+
+FLOAT_FIELDS = ("mu_local", "quat_local", "log_scale", "opacity_logit", "color")
+
+
+def float_fields(g: GaussianAvatar) -> dict:
+    """The differentiable subset of the gaussian pytree."""
+    return {k: getattr(g, k) for k in FLOAT_FIELDS}
+
+
+def with_floats(g: GaussianAvatar, fp: dict) -> GaussianAvatar:
+    return g._replace(**fp)
+
+
+def _param_labels() -> dict:
+    return {
+        "mu_local": "pos",
+        "quat_local": "rot",
+        "log_scale": "scale",
+        "opacity_logit": "opac",
+        "color": "color",
+    }
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.multi_transform(
+        {
+            "pos": optax.adam(cfg.lr_position),
+            "rot": optax.adam(cfg.lr_rotation),
+            "scale": optax.adam(cfg.lr_scale),
+            "opac": optax.adam(cfg.lr_opacity),
+            "color": optax.adam(cfg.lr_color),
+            "frozen": optax.set_to_zero(),
+        },
+        _param_labels(),
+    )
+
+
+def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
+                       width, height, bg, render_cfg):
+    """Rasterize one frame; `probe` (N, 2) is added to the screen-space
+    means so its cotangent is the densification pressure signal."""
+    means, rot, scales, opac, cols = bind_to_mesh(gaussians, verts, faces)
+    proj = project_gaussians(cam, means, rot, scales)
+    proj = dict(proj)
+    proj["uv"] = proj["uv"] + probe
+
+    binning = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        jax.lax.stop_gradient(opac),
+        width, height,
+        render_cfg["tile"], render_cfg["max_per_tile"],
+        render_cfg["max_tiles_per_gaussian"],
+    )
+    if render_cfg["use_pallas"]:
+        from omfs4d.render.pallas_kernels import composite_pallas
+        img, alpha = composite_pallas(proj["uv"], proj["conic"], cols, opac,
+                                      binning, width, height, render_cfg["tile"])
+    else:
+        img, alpha = composite_reference(proj["uv"], proj["conic"], cols, opac,
+                                         binning, width, height, render_cfg["tile"])
+    img = img + (1.0 - alpha)[..., None] * bg
+    return img, binning.overflow
+
+
+class AvatarTrainer:
+    """Owns the jitted step/densify functions and the training loop."""
+
+    def __init__(
+        self,
+        faces: np.ndarray,
+        cfg: TrainConfig,
+        width: int,
+        height: int,
+        white_background: bool = True,
+        tile: int = 16,
+        max_per_tile: int = 512,
+        max_tiles_per_gaussian: int = 36,
+        use_pallas: str = "auto",
+    ):
+        self.faces = jnp.asarray(faces, jnp.int32)
+        self.cfg = cfg
+        self.width = width
+        self.height = height
+        self.bg = jnp.ones(3, jnp.float32) if white_background else jnp.zeros(3, jnp.float32)
+        pallas_on = (use_pallas == "always") or (
+            use_pallas == "auto" and jax.default_backend() == "tpu"
+        )
+        self.render_cfg = {
+            "tile": tile,
+            "max_per_tile": max_per_tile,
+            "max_tiles_per_gaussian": max_tiles_per_gaussian,
+            "use_pallas": pallas_on,
+        }
+        self.optimizer = make_optimizer(cfg)
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._densify_fn = jax.jit(self._densify_prune, donate_argnums=(0,),
+                                   static_argnums=(2,))
+        self._eval_fn = jax.jit(self._eval_frame)
+
+    # ── state ────────────────────────────────────────────────
+    def init_state(self, capacity: int | None = None, seed: int | None = None) -> TrainState:
+        capacity = capacity or self.cfg.max_gaussians
+        g = init_gaussians_on_mesh(
+            np.asarray(self.faces), capacity, seed=seed if seed is not None else self.cfg.seed
+        )
+        return TrainState(
+            gaussians=g,
+            opt_state=self.optimizer.init(float_fields(g)),
+            step=jnp.zeros((), jnp.int32),
+            grad_accum=jnp.zeros(capacity, jnp.float32),
+            grad_count=jnp.zeros(capacity, jnp.float32),
+        )
+
+    # ── one jitted training step ─────────────────────────────
+    def _train_step(self, state: TrainState, data: dict, idx: jnp.ndarray):
+        cfg = self.cfg
+        W, H = self.width, self.height
+        faces = self.faces
+        bg = self.bg
+        render_cfg = self.render_cfg
+
+        verts = data["verts"][idx]                         # (B, V, 3)
+        imgs = data["images"][idx].astype(jnp.float32) / 255.0
+        w2c = data["w2c"][idx]
+        fx, fy = data["fx"][idx], data["fy"][idx]
+        cx, cy = data["cx"][idx], data["cy"][idx]
+        if "masks" in data:
+            m = data["masks"][idx].astype(jnp.float32)[..., None] / 255.0
+            imgs = imgs * m + bg * (1.0 - m)
+
+        probe = jnp.zeros((state.gaussians.capacity, 2), jnp.float32)
+
+        def loss_fn(fp, pr):
+            g = with_floats(state.gaussians, fp)
+            def one(v, w2c_i, fx_i, fy_i, cx_i, cy_i, gt):
+                cam = Camera(w2c=w2c_i, fx=fx_i, fy=fy_i, cx=cx_i, cy=cy_i,
+                             width=W, height=H)
+                img, overflow = _render_with_probe(
+                    g, pr, v, faces, cam, W, H, bg, render_cfg
+                )
+                l1 = l1_loss(img, gt)
+                ds = dssim_loss(img, gt)
+                return (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * ds, (img, overflow)
+
+            losses, (rendered, overflow) = jax.vmap(one)(
+                verts, w2c, fx, fy, cx, cy, imgs
+            )
+            return jnp.mean(losses), (rendered, overflow)
+
+        fp0 = float_fields(state.gaussians)
+        (loss, (rendered, overflow)), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(fp0, probe)
+
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, fp0)
+        fp = optax.apply_updates(fp0, updates)
+        fp["quat_local"] = fp["quat_local"] / (
+            jnp.linalg.norm(fp["quat_local"], axis=-1, keepdims=True) + 1e-12
+        )
+        g = with_floats(state.gaussians, fp)
+
+        gnorm = jnp.linalg.norm(probe_grad, axis=-1)
+        new_state = TrainState(
+            gaussians=g,
+            opt_state=opt_state,
+            step=state.step + 1,
+            grad_accum=state.grad_accum + gnorm,
+            grad_count=state.grad_count + (gnorm > 0).astype(jnp.float32),
+        )
+        metrics = {
+            "loss": loss,
+            "psnr": psnr(rendered, imgs.astype(jnp.float32)),
+            "overflow": jnp.sum(overflow),
+            "n_alive": g.alive.sum(),
+        }
+        return new_state, metrics
+
+    # ── densify / prune (jit, fixed capacity) ────────────────
+    def _densify_prune(self, state: TrainState, key: jnp.ndarray, max_new: int):
+        cfg = self.cfg
+        g = state.gaussians
+        N = g.capacity
+
+        grad_avg = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
+        candidate = g.alive & (grad_avg > cfg.densify_grad_threshold)
+        scores = jnp.where(candidate, grad_avg, -1.0)
+        top_scores, src = jax.lax.top_k(scores, max_new)
+
+        # dead slots first (stable argsort on alive: False < True)
+        slot_order = jnp.argsort(g.alive.astype(jnp.int32), stable=True)
+        slots = slot_order[:max_new]
+        ok = (top_scores > 0) & (~g.alive[slots])
+
+        max_local_scale = jnp.exp(g.log_scale[src]).max(axis=-1)
+        is_split = max_local_scale > 1.0
+
+        noise = jax.random.normal(key, (max_new, 3)) * jnp.exp(g.log_scale[src])
+        child_mu = g.mu_local[src] + noise
+        shrink = jnp.where(is_split[:, None], jnp.log(1.6), 0.0)
+        child_ls = g.log_scale[src] - shrink
+
+        def put(arr, vals):
+            cur = arr[slots]
+            sel = ok.reshape((-1,) + (1,) * (vals.ndim - 1))
+            return arr.at[slots].set(jnp.where(sel, vals, cur))
+
+        g2 = GaussianAvatar(
+            parent_face=put(g.parent_face, g.parent_face[src]),
+            mu_local=put(g.mu_local, child_mu),
+            quat_local=put(g.quat_local, g.quat_local[src]),
+            log_scale=put(g.log_scale, child_ls),
+            opacity_logit=put(g.opacity_logit, g.opacity_logit[src]),
+            color=put(g.color, g.color[src]),
+            alive=g.alive.at[slots].set(ok | g.alive[slots]),
+        )
+        # shrink split parents
+        parent_shrunk = g2.log_scale.at[src].add(
+            -jnp.where(ok & is_split, jnp.log(1.6), 0.0)[:, None]
+        )
+        g2 = g2._replace(log_scale=parent_shrunk)
+
+        # prune transparent gaussians
+        alive = g2.alive & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
+        g2 = g2._replace(alive=alive)
+
+        return TrainState(
+            gaussians=g2,
+            opt_state=self.optimizer.init(float_fields(g2)),
+            step=state.step,
+            grad_accum=jnp.zeros(N, jnp.float32),
+            grad_count=jnp.zeros(N, jnp.float32),
+        )
+
+    def _eval_frame(self, gaussians, verts, w2c, fx, fy, cx, cy):
+        cam = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy,
+                     width=self.width, height=self.height)
+        probe = jnp.zeros((gaussians.capacity, 2), jnp.float32)
+        img, _ = _render_with_probe(gaussians, probe, verts, self.faces, cam,
+                                    self.width, self.height, self.bg,
+                                    self.render_cfg)
+        return img
+
+    def render_frame(self, state_or_gaussians, verts, camera: Camera):
+        g = getattr(state_or_gaussians, "gaussians", state_or_gaussians)
+        return self._eval_fn(g, jnp.asarray(verts), camera.w2c, camera.fx,
+                             camera.fy, camera.cx, camera.cy)
+
+    # ── opacity reset ────────────────────────────────────────
+    def reset_opacity(self, state: TrainState) -> TrainState:
+        cap = inverse_sigmoid(0.01)
+        g = state.gaussians._replace(
+            opacity_logit=jnp.minimum(state.gaussians.opacity_logit, cap)
+        )
+        return state._replace(gaussians=g,
+                              opt_state=self.optimizer.init(float_fields(g)))
+
+    # ── full loop ────────────────────────────────────────────
+    def train(
+        self,
+        data: dict,
+        iterations: int | None = None,
+        state: TrainState | None = None,
+        output_dir: str | Path | None = None,
+        events: EventLogger | None = None,
+        log_every: int = 100,
+        rng_seed: int = 0,
+    ) -> TrainState:
+        """data: dict of device arrays — images (T,H,W,3) uint8,
+        verts (T,V,3) f32, w2c (T,4,4), fx/fy/cx/cy (T,), masks optional."""
+        cfg = self.cfg
+        iterations = iterations or cfg.iterations
+        state = state or self.init_state()
+        events = events or EventLogger()
+        rng = np.random.default_rng(rng_seed)
+        key = jax.random.PRNGKey(rng_seed)
+
+        T = data["images"].shape[0]
+        B = cfg.batch_frames
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+
+        save_iters = sorted({max(iterations // 4, 1), max(iterations // 2, 1),
+                             iterations})
+        densify_until = int(iterations * cfg.densify_until_frac)
+        max_new = max(state.gaussians.capacity // 16, 1)
+
+        for it in range(1, iterations + 1):
+            idx = jnp.asarray(rng.integers(0, T, size=(B,)), jnp.int32)
+            state, metrics = self._step_fn(state, data, idx)
+
+            if it % log_every == 0 or it == iterations:
+                m = {k: float(v) for k, v in metrics.items()}
+                log.info(
+                    f"iter {it}/{iterations} loss={m['loss']:.4f} "
+                    f"psnr={m['psnr']:.2f} alive={int(m['n_alive'])}"
+                )
+                events.emit("train_step", iter=it, **m)
+
+            if (
+                cfg.densify_interval > 0
+                and cfg.densify_from <= it <= densify_until
+                and it % cfg.densify_interval == 0
+            ):
+                key, sub = jax.random.split(key)
+                state = self._densify_fn(state, sub, max_new)
+
+            if cfg.opacity_reset_interval > 0 and it % cfg.opacity_reset_interval == 0 and it < densify_until:
+                state = self.reset_opacity(state)
+
+            if output_dir is not None and it in save_iters:
+                self.save_checkpoint(state, output_dir, it)
+
+        return state
+
+    # ── checkpoints ──────────────────────────────────────────
+    def save_checkpoint(self, state: TrainState, output_dir: str | Path, iteration: int):
+        from omfs4d.train.checkpoints import save_state, export_point_cloud
+
+        out = Path(output_dir)
+        save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        export_point_cloud(out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
+                           state.gaussians)
+        log.info(f"checkpoint saved at iteration {iteration}")

@@ -1,0 +1,152 @@
+"""Trainer: single-frame overfit (the reference's e2e sanity harness,
+ref: single_frame_experiment.py), densification, checkpoints, gates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omfs4d.core.config import TrainConfig
+from omfs4d.models.assets import synthetic_flame_asset
+from omfs4d.models.flame import FlameModel, flame_forward
+from omfs4d.io.synthetic import textured_gt_avatar, orbit_c2w_nerf
+from omfs4d.ops.camera import camera_from_nerf
+from omfs4d.render.rasterize import render_avatar_frame
+from omfs4d.train.trainer import AvatarTrainer
+from omfs4d.train.losses import psnr
+from omfs4d.train.gates import QualityGateError, run_quality_gates
+
+
+W = H = 64
+
+
+@pytest.fixture(scope="module")
+def scene():
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=700, seed=0))
+    gt = textured_gt_avatar(model, seed=0)
+    c2w = orbit_c2w_nerf(1)[0]
+    fl = W * 1.8
+    cam = camera_from_nerf(c2w, fl, fl, W / 2, H / 2, W, H)
+    verts = flame_forward(model, {
+        "shape": jnp.zeros(300), "expr": jnp.zeros((1, 100)),
+    })[0]
+    img, _ = render_avatar_frame(gt, verts, model.faces, cam, W, H,
+                                 backend="never")
+    return model, cam, verts, np.asarray(img)
+
+
+def _data(cam, verts, img):
+    return {
+        "images": np.clip(np.asarray(img)[None] * 255, 0, 255).astype(np.uint8),
+        "verts": np.asarray(verts)[None],
+        "w2c": np.asarray(cam.w2c)[None],
+        "fx": np.asarray([cam.fx], np.float32),
+        "fy": np.asarray([cam.fy], np.float32),
+        "cx": np.asarray([cam.cx], np.float32),
+        "cy": np.asarray([cam.cy], np.float32),
+    }
+
+
+class TestOverfit:
+    def test_single_frame_overfit(self, scene, tmp_path):
+        model, cam, verts, img = scene
+        cfg = TrainConfig(
+            iterations=250, densify_from=50, densify_interval=100,
+            densify_until_frac=0.6, opacity_reset_interval=0,
+            max_gaussians=4096, batch_frames=1,
+        )
+        trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                                max_per_tile=256, use_pallas="never")
+        state = trainer.init_state(capacity=4096)
+
+        # PSNR of the untrained avatar
+        img0 = trainer.render_frame(state, verts, cam)
+        p0 = float(psnr(img0, jnp.asarray(img)))
+
+        state = trainer.train(_data(cam, verts, img), state=state,
+                              output_dir=tmp_path, log_every=1000)
+        img1 = trainer.render_frame(state, verts, cam)
+        p1 = float(psnr(img1, jnp.asarray(img)))
+
+        assert p1 > p0 + 4.0, (p0, p1)
+        assert p1 > 19.0, (p0, p1)
+
+        # checkpoints at N/4, N/2, N (reference parity)
+        pc = tmp_path / "point_cloud"
+        names = sorted(d.name for d in pc.iterdir())
+        assert names == ["iteration_125", "iteration_250", "iteration_62"] or \
+               set(names) == {"iteration_62", "iteration_125", "iteration_250"}
+
+    def test_checkpoint_roundtrip(self, scene, tmp_path):
+        from omfs4d.train.checkpoints import (
+            export_point_cloud, load_point_cloud, latest_iteration,
+        )
+        model, cam, verts, img = scene
+        cfg = TrainConfig(iterations=10, densify_interval=0,
+                          opacity_reset_interval=0, max_gaussians=2048)
+        trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                                max_per_tile=256, use_pallas="never")
+        state = trainer.init_state(capacity=2048)
+        p = tmp_path / "pc.ply"
+        export_point_cloud(p, state.gaussians)
+        g2 = load_point_cloud(p, capacity=2048)
+        np.testing.assert_allclose(np.asarray(g2.mu_local),
+                                   np.asarray(state.gaussians.mu_local), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g2.color),
+                                   np.asarray(state.gaussians.color), atol=1e-6)
+
+        trainer.save_checkpoint(state, tmp_path / "out", 42)
+        assert latest_iteration(tmp_path / "out") == 42
+
+
+class TestDensify:
+    def test_densify_increases_alive(self, scene):
+        model, cam, verts, img = scene
+        cfg = TrainConfig(iterations=50, densify_grad_threshold=1e-7,
+                          max_gaussians=4096)
+        trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                                max_per_tile=256, use_pallas="never")
+        state = trainer.init_state(capacity=4096)
+        n0 = int(state.gaussians.alive.sum())
+        data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
+        for _ in range(20):
+            state, _ = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
+        state = trainer._densify_fn(state, jax.random.PRNGKey(0), 256)
+        n1 = int(state.gaussians.alive.sum())
+        assert n1 > n0
+
+    def test_prune_kills_transparent(self, scene):
+        model, cam, verts, img = scene
+        cfg = TrainConfig(max_gaussians=1024, prune_opacity=0.5)
+        trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                                use_pallas="never")
+        state = trainer.init_state(capacity=1024)  # init opacity 0.1 < 0.5
+        state = trainer._densify_fn(state, jax.random.PRNGKey(0), 64)
+        assert int(state.gaussians.alive.sum()) == 0
+
+
+class TestGates:
+    def test_gates_pass(self, tmp_path):
+        import json
+        frames = [{"timestep_index": i, "file_path": f"images/{i:05d}.png"}
+                  for i in range(60)]
+        (tmp_path / "transforms_train.json").write_text(
+            json.dumps({"frames": frames}))
+        out = run_quality_gates(tmp_path)
+        assert out["frames"] == 60
+
+    def test_gates_fail_few_frames(self, tmp_path):
+        import json
+        frames = [{"timestep_index": i} for i in range(10)]
+        (tmp_path / "transforms_train.json").write_text(
+            json.dumps({"frames": frames}))
+        with pytest.raises(QualityGateError):
+            run_quality_gates(tmp_path)
+
+    def test_gates_fail_gaps(self, tmp_path):
+        import json
+        frames = [{"timestep_index": i * 3} for i in range(60)]
+        (tmp_path / "transforms_train.json").write_text(
+            json.dumps({"frames": frames}))
+        with pytest.raises(QualityGateError):
+            run_quality_gates(tmp_path)
