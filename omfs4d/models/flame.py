@@ -69,8 +69,9 @@ class FlameModel(NamedTuple):
 
 def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
-    axis = aa / (angle + 1e-8)
+    # eps inside the sqrt keeps the gradient finite at aa == 0
+    angle = jnp.sqrt(jnp.sum(aa * aa, axis=-1, keepdims=True) + 1e-16)
+    axis = aa / angle
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zeros = jnp.zeros_like(x)
     K = jnp.stack([
@@ -147,7 +148,8 @@ def flame_forward(model: FlameModel, params: dict, return_landmarks: bool = Fals
     # 1. shape + expression blendshapes — (V*3, K) @ (K, B) on the MXU
     def blend(dirs, coeff):
         flat = dirs.reshape(V * 3, -1)
-        return (flat @ coeff[:, : flat.shape[1]].T).T.reshape(B, V, 3)
+        k = min(flat.shape[1], coeff.shape[1])   # tracker may use fewer modes
+        return (flat[:, :k] @ coeff[:, :k].T).T.reshape(B, V, 3)
 
     v = model.v_template[None] + blend(model.shapedirs_shape, shape[:, :n_shape])
     v = v + blend(model.shapedirs_expr, expr[:, :n_expr])

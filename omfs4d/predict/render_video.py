@@ -1,0 +1,158 @@
+"""Post-surgical prediction rendering: modified params -> frames -> MP4.
+
+End-to-end parity with the reference's render path
+(ref: render_surgery.py:245-362, 412-449), in-process instead of via a
+GaussianAvatars subprocess:
+
+  * picks the highest `point_cloud/iteration_*` unless pinned;
+  * clears stale renders, writes `train/ours_N/renders/*.png` (+ gt/);
+  * optional deterministic frame export; stitches H.264/MP4 via cv2.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omfs4d.core.logging import get_logger
+from omfs4d.io.dataset import FrameDataset
+from omfs4d.io.video import stitch_video, write_image
+from omfs4d.models.flame import FlameModel, flame_forward
+from omfs4d.predict.surgery import (
+    choose_rig_mode,
+    compute_offset,
+    create_modified_dataset,
+    export_deterministic_frames,
+    load_deformation_map,
+)
+from omfs4d.render.rasterize import render_avatar_frame
+from omfs4d.train.checkpoints import latest_iteration, load_point_cloud
+
+log = get_logger("render_surgery")
+
+
+def render_dataset_frames(
+    flame_model: FlameModel,
+    gaussians,
+    data_dir: str | Path,
+    out_renders: str | Path,
+    out_gt: str | Path | None = None,
+    split: str = "train",
+    backend: str = "auto",
+    max_per_tile: int = 512,
+) -> Path:
+    """Render every frame of a dataset split with the given avatar."""
+    ds = FrameDataset(data_dir, split=split)
+    out_renders = Path(out_renders)
+    out_renders.mkdir(parents=True, exist_ok=True)
+    if out_gt is not None:
+        Path(out_gt).mkdir(parents=True, exist_ok=True)
+
+    render_one = None
+    for i in range(len(ds)):
+        params = {k: jnp.asarray(v) for k, v in ds.load_frame_params(i).items()}
+        verts = flame_forward(flame_model, params)[0]
+        cam = ds.camera(i)
+        if render_one is None:
+            W, H = cam.width, cam.height
+
+            def render_one(g, v, w2c, fx, fy, cx, cy):
+                from omfs4d.ops.camera import Camera
+                c = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+                img, _ = render_avatar_frame(
+                    g, v, flame_model.faces, c, W, H,
+                    backend=backend, max_per_tile=max_per_tile,
+                )
+                return img
+
+            render_one = jax.jit(render_one)
+
+        img = render_one(gaussians, verts, cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy)
+        name = Path(ds.frame_meta(i)["file_path"]).name
+        write_image(out_renders / name, np.asarray(img))
+        if out_gt is not None:
+            shutil.copy2(ds.data_dir / ds.frame_meta(i)["file_path"],
+                         Path(out_gt) / name)
+    return out_renders
+
+
+def render_prediction(
+    model_dir: str | Path,
+    data_dir: str | Path,
+    flame_model: FlameModel,
+    output: str | Path = "final_prediction.mp4",
+    lefort_mm: float = 0.0,
+    bsso_mm: float = 0.0,
+    sensitivity: float = 1.0,
+    fps: int = 30,
+    iteration: int = -1,
+    rig_mode: str = "flame_only",
+    canonical_head_asset: str = "",
+    deformation_map: str = "",
+    export_frames_dir: str = "",
+    deterministic_indices: str = "",
+    deterministic_max_frames: int = 24,
+    backend: str = "auto",
+    keep_modified_dataset: bool = False,
+) -> dict:
+    """Full prediction pipeline: offsets -> modified dataset -> render -> MP4."""
+    lefort_offset = compute_offset(lefort_mm, sensitivity)
+    bsso_offset = compute_offset(bsso_mm, sensitivity)
+    effective_mode, mode_reason = choose_rig_mode(rig_mode, canonical_head_asset)
+    deform = load_deformation_map(
+        deformation_map if effective_mode == "hybrid_full_head" else None
+    )
+    log.info(f"Le Fort: {lefort_mm} mm -> offset {lefort_offset:.6f}")
+    log.info(f"BSSO:    {bsso_mm} mm -> offset {bsso_offset:.6f}")
+    log.info(f"Rig mode: {effective_mode} ({mode_reason})")
+
+    model_dir = Path(model_dir)
+    it = iteration if iteration > 0 else latest_iteration(model_dir)
+    if it is None:
+        raise FileNotFoundError(f"No point_cloud/iteration_* in {model_dir}")
+    pc_path = model_dir / "point_cloud" / f"iteration_{it}" / "point_cloud.ply"
+    gaussians = load_point_cloud(pc_path)
+    log.info(f"Using iteration: {it} ({int(gaussians.alive.sum())} gaussians)")
+
+    # clear stale renders (parity: render_surgery.py:260-267)
+    train_dir = model_dir / "train"
+    if train_dir.is_dir():
+        for d in train_dir.iterdir():
+            renders = d / "renders"
+            if renders.is_dir():
+                shutil.rmtree(renders)
+
+    modified = create_modified_dataset(str(data_dir), lefort_offset,
+                                       bsso_offset, deformation_map=deform)
+    try:
+        renders_dir = train_dir / f"ours_{it}" / "renders"
+        gt_dir = train_dir / f"ours_{it}" / "gt"
+        render_dataset_frames(
+            flame_model, gaussians, modified, renders_dir, out_gt=gt_dir,
+            split="train", backend=backend,
+        )
+
+        if export_frames_dir:
+            export_deterministic_frames(
+                str(renders_dir), export_frames_dir,
+                index_file=deterministic_indices or None,
+                max_frames=deterministic_max_frames,
+            )
+
+        out_path = stitch_video(renders_dir, output, fps=fps)
+        log.info(f"Video saved to {out_path}")
+        return {
+            "video": str(out_path),
+            "renders_dir": str(renders_dir),
+            "iteration": it,
+            "rig_mode": effective_mode,
+            "lefort_offset": lefort_offset,
+            "bsso_offset": bsso_offset,
+        }
+    finally:
+        if not keep_modified_dataset:
+            shutil.rmtree(modified, ignore_errors=True)
