@@ -58,14 +58,15 @@ def _synthetic(source, model=None, params=None, cameras=None, **kw):
     """Project the GT FLAME landmarks (tests/benches: perfect detector)."""
     import jax.numpy as jnp
     from omfs4d.models.flame import flame_forward, flame_landmarks
-    from omfs4d.ops.camera import project_points
+    from omfs4d.ops.camera import Camera, project_points
 
     verts = flame_forward(model, {k: jnp.asarray(v) for k, v in params.items()})
     lmk3d = flame_landmarks(model, verts)          # (T, 68, 3)
     T = lmk3d.shape[0]
     out = np.zeros((T, lmk3d.shape[1], 2), np.float32)
     for i in range(T):
-        cam = cameras[i] if isinstance(cameras, (list, tuple)) else cameras
+        # NOTE: Camera is itself a NamedTuple — check for it before list/tuple
+        cam = cameras if isinstance(cameras, Camera) else cameras[i]
         uv, _ = project_points(cam, lmk3d[i])
         out[i] = np.asarray(uv)
     return out, np.ones(T, bool)
