@@ -1,0 +1,197 @@
+"""Headline benchmark — 3DGS avatar training/render throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
+
+Baseline (BASELINE.md): the reference trains 30K iterations in ~30 min on an
+RTX 4070 Ti at 512 resolution => 16.7 train iters/sec.  vs_baseline is the
+ratio of this framework's single-chip train-step throughput to that number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TRAIN_ITERS_PER_SEC = 30_000 / (30 * 60)   # ~16.7 (app.py:1347)
+
+
+def pallas_smoke_ok() -> bool:
+    """Compile + run the Pallas composite on a tiny input; fall back if broken."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from omfs4d.ops.camera import look_at_camera, project_gaussians
+        from omfs4d.render.rasterize import bin_gaussians
+        from omfs4d.render.pallas_kernels import composite_pallas
+
+        cam = look_at_camera(eye=(0, 0, -2.0), target=(0, 0, 0), fx=60.0,
+                             width=32, height=32)
+        means = jnp.zeros((8, 3), jnp.float32)
+        rot = jnp.tile(jnp.eye(3)[None], (8, 1, 1))
+        scales = jnp.full((8, 3), 0.05, jnp.float32)
+        opac = jnp.full((8,), 0.5, jnp.float32)
+        cols = jnp.full((8, 3), 0.5, jnp.float32)
+        proj = project_gaussians(cam, means, rot, scales)
+        binning = bin_gaussians(proj, opac, 32, 32, tile=16, max_per_tile=128)
+        img, _ = composite_pallas(proj["uv"], proj["conic"], cols, opac,
+                                  binning, 32, 32, tile=16)
+        return bool(np.isfinite(np.asarray(img)).all())
+    except Exception as e:  # noqa: BLE001
+        print(f"# pallas smoke failed, using XLA composite: {e}", file=sys.stderr)
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (CI)")
+    ap.add_argument("--size", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.track.fitter import FlameTracker
+    from omfs4d.core.config import TrackConfig
+    from omfs4d.train.trainer import AvatarTrainer
+
+    quick = args.quick
+    size = args.size or (128 if quick else 512)
+    n_timed = args.iters or (5 if quick else 50)
+    n_vertices = 700 if quick else 5143
+    capacity = 4096 if quick else 131_072
+    target_alive = 2048 if quick else 65_536
+    max_per_tile = 128 if quick else 512
+
+    backend = jax.default_backend()
+    use_pallas = "always" if (backend == "tpu" and pallas_smoke_ok()) else "never"
+
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=n_vertices))
+    W = H = size
+    cam = look_at_camera(eye=(0, 0, 0.55), target=(0, 0, 0), fx=1.7 * W,
+                         width=W, height=H)
+
+    # avatar at a trained-model scale: replicate per-face gaussians w/ jitter
+    g0 = textured_gt_avatar(model, capacity=capacity)
+    rng = np.random.default_rng(0)
+    F = int(np.asarray(g0.alive).sum())
+    reps = int(np.ceil(target_alive / F))
+    idx = np.tile(np.arange(F), reps)[:target_alive]
+    g = g0._replace(
+        parent_face=jnp.asarray(np.asarray(g0.parent_face)[idx]),
+        mu_local=jnp.asarray(
+            np.asarray(g0.mu_local)[idx]
+            + rng.normal(0, 0.3, (target_alive, 3)).astype(np.float32)
+        ),
+        quat_local=jnp.asarray(np.asarray(g0.quat_local)[idx]),
+        log_scale=jnp.asarray(np.asarray(g0.log_scale)[idx] - np.log(reps ** 0.5)),
+        opacity_logit=jnp.asarray(np.asarray(g0.opacity_logit)[idx] - 1.5),
+        color=jnp.asarray(np.asarray(g0.color)[idx]),
+        alive=jnp.ones(target_alive, bool),
+    )
+    n_pad = capacity - target_alive
+    if n_pad:
+        g = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)]
+            ), g)
+
+    # ── training-step throughput ─────────────────────────────
+    cfg = TrainConfig(batch_frames=1, max_gaussians=capacity)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=max_per_tile, use_pallas=use_pallas)
+    state = trainer.init_state(capacity=capacity)
+    state = state._replace(gaussians=g,
+                           opt_state=trainer.optimizer.init(
+                               {k: getattr(g, k) for k in
+                                ("mu_local", "quat_local", "log_scale",
+                                 "opacity_logit", "color")}))
+
+    T = 4
+    params = {"shape": jnp.zeros(300), "expr": jnp.zeros((T, 100)),
+              "jaw_pose": jnp.asarray(
+                  rng.normal(0, 0.05, (T, 3)), jnp.float32)}
+    verts = flame_forward(model, params)
+    data = {
+        "images": jnp.asarray(rng.integers(0, 255, (T, H, W, 3)), jnp.uint8),
+        "verts": verts,
+        "w2c": jnp.tile(cam.w2c[None], (T, 1, 1)),
+        "fx": jnp.full((T,), cam.fx), "fy": jnp.full((T,), cam.fy),
+        "cx": jnp.full((T,), cam.cx), "cy": jnp.full((T,), cam.cy),
+    }
+
+    idx0 = jnp.zeros((1,), jnp.int32)
+    state, m = trainer._step_fn(state, data, idx0)          # compile + warmup
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        state, m = trainer._step_fn(state, data,
+                                    jnp.full((1,), i % T, jnp.int32))
+    jax.block_until_ready(m["loss"])
+    train_ips = n_timed / (time.perf_counter() - t0)
+
+    # ── render-only fps ──────────────────────────────────────
+    img = trainer.render_frame(state, verts[0], cam)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        img = trainer.render_frame(state, verts[i % T], cam)
+    jax.block_until_ready(img)
+    render_fps = n_timed / (time.perf_counter() - t0)
+
+    # ── FLAME-fit iters/sec (landmark stage, T=150 frames) ───
+    Tt = 16 if quick else 150
+    tcfg = TrackConfig(n_shape=100, n_expr=50, photometric=False)
+    tracker = FlameTracker(model, tcfg, cam, (W, H), use_pallas=use_pallas)
+    p = tracker.init_params(Tt)
+    lmk = jnp.full((Tt, model.lmk_faces_idx.shape[0], 2), W / 2.0, jnp.float32)
+    valid = jnp.ones((Tt,), bool)
+    import optax
+    opt = tracker._make_opt(("rotation", "translation", "expr", "jaw_pose"))
+    opt_state = opt.init(p)
+
+    def fit_step(p, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda q: tracker._landmark_loss(q, lmk, valid)
+            + tracker._regularizers(q)
+        )(p)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    fit_jit = jax.jit(fit_step)
+    p, opt_state, loss = fit_jit(p, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_timed * 2):
+        p, opt_state, loss = fit_jit(p, opt_state)
+    jax.block_until_ready(loss)
+    flame_ips = (n_timed * 2) / (time.perf_counter() - t0)
+
+    result = {
+        "metric": f"3dgs_train_iters_per_sec@{size}",
+        "value": round(train_ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(train_ips / BASELINE_TRAIN_ITERS_PER_SEC, 3),
+        "extra": {
+            "render_fps": round(render_fps, 2),
+            "flame_fit_iters_per_sec": round(flame_ips, 2),
+            "n_gaussians": target_alive,
+            "resolution": size,
+            "backend": backend,
+            "pallas": use_pallas == "always",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""End-to-end pipeline: video -> tracked dataset -> avatar -> prediction.
+
+One Python process replaces the reference's conda/venv subprocess chain
+(ref: run_full_pipeline_conda.ps1 stages preprocess -> track -> export ->
+convert -> train -> render -> report; the split is an artifact of CUDA
+packaging, SURVEY.md L0).  Stages pass arrays, cache by content hash
+(ArtifactStore), and emit JSONL progress events.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from omfs4d.core.artifacts import ArtifactStore, write_experiment_manifest
+from omfs4d.core.config import Config
+from omfs4d.core.logging import EventLogger, get_logger, stage_timer
+from omfs4d.io.dataset import FrameDataset, write_dataset
+from omfs4d.io.video import extract_frames, probe_video, read_image
+from omfs4d.models.assets import load_flame_asset, synthetic_flame_asset
+from omfs4d.models.flame import FlameModel, flame_forward
+from omfs4d.track.fitter import FlameTracker
+from omfs4d.track.landmarks import detect_landmarks
+from omfs4d.train.gates import run_quality_gates
+from omfs4d.train.trainer import AvatarTrainer
+
+log = get_logger("pipeline")
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, workdir: str | Path,
+                 flame_asset: str | None = None):
+        self.cfg = cfg
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.store = ArtifactStore(self.workdir / "stages")
+        self.events = EventLogger(self.workdir / "events.jsonl")
+        if flame_asset:
+            asset = load_flame_asset(flame_asset)
+        else:
+            asset = synthetic_flame_asset()
+        self.model = FlameModel.from_asset(asset)
+
+    # ── stage 1: video -> frames ─────────────────────────────
+    def preprocess(self, video_path: str | Path, force: bool = False) -> Path:
+        cfg = self.cfg.pipeline
+
+        def run(out: Path):
+            with stage_timer("preprocess", self.events):
+                info = probe_video(video_path)
+                paths = extract_frames(
+                    video_path, out / "images",
+                    target_size=cfg.target_size,
+                    max_frames=cfg.max_frames,
+                )
+                return {"n_frames": len(paths), **info}
+
+        return self.store.run(
+            "preprocess", {"video": str(video_path)},
+            {"target_size": cfg.target_size, "max_frames": cfg.max_frames},
+            run, force=force,
+        )
+
+    # ── stage 2+3: landmarks + FLAME tracking -> dataset ────
+    def track(self, frames_dir: Path, camera, landmark_method: str = "file",
+              landmark_kwargs: dict | None = None, force: bool = False) -> Path:
+        cfg = self.cfg
+
+        def run(out: Path):
+            with stage_timer("track", self.events):
+                images_dir = Path(frames_dir) / "images"
+                frame_paths = sorted(images_dir.glob("*.png"))
+                frames = np.stack([read_image(p) for p in frame_paths])
+                T, H, W = frames.shape[:3]
+
+                lmk, valid = detect_landmarks(
+                    images_dir, method=landmark_method,
+                    **(landmark_kwargs or {}),
+                )
+                tracker = FlameTracker(
+                    self.model, cfg.track, camera, (W, H),
+                    max_per_tile=cfg.render.max_per_tile,
+                    use_pallas=cfg.render.use_pallas,
+                )
+                result = tracker.fit(lmk, valid, frames=frames,
+                                     events=self.events)
+
+                # camera-to-world for a static camera, all frames
+                w2c = np.asarray(camera.w2c, np.float64)
+                c2w = np.linalg.inv(w2c)
+                c2w_nerf = c2w.copy()
+                c2w_nerf[:3, 1:3] *= -1.0
+                c2w_all = np.tile(c2w_nerf[None], (T, 1, 1))
+
+                verts0 = flame_forward(
+                    self.model,
+                    {k: jnp.asarray(v) for k, v in result.params.items()
+                     if k != "dynamic_offset"},
+                )[0]
+                write_dataset(
+                    out, frames, c2w_all,
+                    float(camera.fx), float(camera.fy),
+                    float(camera.cx), float(camera.cy),
+                    flame_params=result.params,
+                    points3d=np.asarray(verts0),
+                    n_verts=self.model.n_vertices,
+                    train_fraction=cfg.pipeline.train_fraction,
+                )
+                return {"n_frames": T, "losses": result.losses}
+
+        return self.store.run(
+            "track", {"frames": str(frames_dir)},
+            {"track": self.cfg.track.__dict__, "lmk": landmark_method},
+            run, force=force,
+        )
+
+    # ── stage 4: avatar training ─────────────────────────────
+    def train(self, data_dir: Path, output_dir: Path | None = None,
+              iterations: int | None = None, force: bool = False) -> Path:
+        cfg = self.cfg
+        output_dir = Path(output_dir) if output_dir else self.workdir / "model"
+
+        run_quality_gates(data_dir, min_frames=min(cfg.pipeline.min_train_frames,
+                                                   50))
+
+        ds = FrameDataset(data_dir, split="train")
+        T = len(ds)
+        images = np.stack([ds.load_image(i) for i in range(T)])
+        H, W = images.shape[1:3]
+        masks = None
+        m0 = ds.load_mask(0)
+        if m0 is not None:
+            masks = np.stack([
+                (ds.load_mask(i) * 255).astype(np.uint8) for i in range(T)
+            ])
+
+        params = {k: jnp.asarray(v) for k, v in ds.flame_params.items()
+                  if k != "dynamic_offset"}
+        verts = flame_forward(self.model, params)
+
+        cams = [ds.camera(i) for i in range(T)]
+        data = {
+            "images": images,
+            "verts": np.asarray(verts),
+            "w2c": np.stack([np.asarray(c.w2c) for c in cams]),
+            "fx": np.asarray([float(c.fx) for c in cams], np.float32),
+            "fy": np.asarray([float(c.fy) for c in cams], np.float32),
+            "cx": np.asarray([float(c.cx) for c in cams], np.float32),
+            "cy": np.asarray([float(c.cy) for c in cams], np.float32),
+        }
+        if masks is not None:
+            data["masks"] = masks
+
+        trainer = AvatarTrainer(
+            np.asarray(self.model.faces), cfg.train, W, H,
+            white_background=cfg.render.white_background,
+            tile=cfg.render.tile,
+            max_per_tile=cfg.render.max_per_tile,
+            use_pallas=cfg.render.use_pallas,
+        )
+        with stage_timer("train", self.events):
+            trainer.train(data, iterations=iterations,
+                          output_dir=output_dir, events=self.events)
+
+        write_experiment_manifest(output_dir, data_dir, cfg.to_dict(),
+                                  extra={"iterations": iterations or cfg.train.iterations})
+        return output_dir
+
+    # ── stage 5: surgical prediction render ──────────────────
+    def render_surgery(self, model_dir: Path, data_dir: Path, output: Path,
+                       lefort_mm: float, bsso_mm: float, **kw) -> dict:
+        from omfs4d.predict.render_video import render_prediction
+
+        with stage_timer("render_surgery", self.events):
+            return render_prediction(
+                model_dir, data_dir, self.model, output=output,
+                lefort_mm=lefort_mm, bsso_mm=bsso_mm,
+                sensitivity=self.cfg.predict.sensitivity,
+                fps=self.cfg.predict.fps,
+                rig_mode=self.cfg.predict.rig_mode,
+                backend=self.cfg.render.use_pallas,
+                **kw,
+            )
+
+    # ── stage 6: strict report ───────────────────────────────
+    def report(self, model_dir: Path, deterministic_dir: Path,
+               output_dir: Path | None = None) -> dict:
+        from omfs4d.eval.reporting import generate_report
+
+        output_dir = output_dir or (Path(model_dir) / "eval_strict" / "reports")
+        with stage_timer("report", self.events):
+            return generate_report(Path(model_dir), Path(deterministic_dir),
+                                   Path(output_dir))

@@ -52,15 +52,21 @@ def _pixel_grid(tile: int, grid_w: int, t):
     """(P, 1) pixel-center x and y for tile index t."""
     ty = t // grid_w
     tx = t % grid_w
-    py = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    px = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-    x = (tx * tile + px).reshape(tile * tile, 1).astype(jnp.float32) + 0.5
-    y = (ty * tile + py).reshape(tile * tile, 1).astype(jnp.float32) + 0.5
+    P = tile * tile
+    # generate directly in (P, 1) — Mosaic cannot reshape (t, t) -> (P, 1)
+    p_ids = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    py = p_ids // tile
+    px = p_ids % tile
+    x = (tx * tile + px).astype(jnp.float32) + 0.5
+    y = (ty * tile + py).astype(jnp.float32) + 0.5
     return x, y
 
 
-def _alpha_matrix(packed, count, tile: int, grid_w: int, K: int):
-    """Recompute the (P, K) effective alpha matrix for one tile."""
+def _alpha_matrix(packed, tile: int, grid_w: int, K: int):
+    """Recompute the (P, K) effective alpha matrix for one tile.
+
+    Validity needs no separate mask: the XLA-side packer zeroes the opacity
+    row beyond each tile's count, which zeroes alpha exactly."""
     t = pl.program_id(0)
     x, y = _pixel_grid(tile, grid_w, t)              # (P, 1)
 
@@ -74,27 +80,23 @@ def _alpha_matrix(packed, count, tile: int, grid_w: int, K: int):
     dx = x - ux                                       # (P, K)
     dy = y - uy
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    valid = k_ids < count                             # (1, K)
-    power = jnp.where(valid, power, NEG_INF)
+    power = jnp.minimum(power, 0.0)                   # PSD quadform safety
 
     a_full = o * jnp.exp(power)
     capped = a_full > ALPHA_CAP
     a = jnp.where(capped, ALPHA_CAP, a_full)
     cut = a < ALPHA_CUTOFF
     a = jnp.where(cut, 0.0, a)
-    grad_ok = jnp.logical_not(jnp.logical_or(capped, cut)) & valid
+    grad_ok = jnp.logical_not(jnp.logical_or(capped, cut))
     return a, a_full, grad_ok, dx, dy
 
 
-def _fwd_kernel(counts_ref, packed_ref, color_out_ref, alpha_out_ref,
+def _fwd_kernel(packed_ref, color_out_ref, alpha_out_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
-    count = counts_ref[0]
     P = tile * tile
 
-    a, _, _, _, _ = _alpha_matrix(packed, count, tile, grid_w, K)
+    a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, K)
     lg = jnp.log1p(-a)                                # (P, K)
 
     # exclusive prefix sum over k: S[p, k] = sum_{j < k} lg[p, j]
@@ -115,13 +117,12 @@ def _fwd_kernel(counts_ref, packed_ref, color_out_ref, alpha_out_ref,
     alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
 
 
-def _bwd_kernel(counts_ref, packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
+def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
-    count = counts_ref[0]
     P = tile * tile
 
-    a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, count, tile, grid_w, K)
+    a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, K)
     one_minus = jnp.maximum(1.0 - a, 1e-6)
     lg = jnp.log(one_minus)
 
@@ -179,7 +180,7 @@ def _bwd_kernel(counts_ref, packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
     )
 
 
-def _call_fwd(packed, counts, tile: int, grid_w: int, interpret: bool):
+def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):
     T, _, K = packed.shape
     P = tile * tile
     grid = (T,)
@@ -187,7 +188,6 @@ def _call_fwd(packed, counts, tile: int, grid_w: int, interpret: bool):
         functools.partial(_fwd_kernel, tile=tile, grid_w=grid_w, K=K),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -199,17 +199,16 @@ def _call_fwd(packed, counts, tile: int, grid_w: int, interpret: bool):
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, packed)
+    )(packed)
 
 
-def _call_bwd(packed, counts, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
+def _call_bwd(packed, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
     T, _, K = packed.shape
     P = tile * tile
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, grid_w=grid_w, K=K),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -217,25 +216,25 @@ def _call_bwd(packed, counts, dcol, dalpha, tile: int, grid_w: int, interpret: b
         out_specs=pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, N_ROWS, K), jnp.float32),
         interpret=interpret,
-    )(counts, packed, dcol, dalpha)
+    )(packed, dcol, dalpha)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def composite_tiles(packed, counts, tile: int, grid_w: int, interpret: bool):
-    """(T, 16, K) packed params + (T,) counts -> ((T, 3, P), (T, 1, P))."""
-    return _call_fwd(packed, counts, tile, grid_w, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def composite_tiles(packed, tile: int, grid_w: int, interpret: bool):
+    """(T, 16, K) packed params -> ((T, 3, P), (T, 1, P))."""
+    return _call_fwd(packed, tile, grid_w, interpret)
 
 
-def _composite_fwd(packed, counts, tile, grid_w, interpret):
-    out = _call_fwd(packed, counts, tile, grid_w, interpret)
-    return out, (packed, counts)
+def _composite_fwd(packed, tile, grid_w, interpret):
+    out = _call_fwd(packed, tile, grid_w, interpret)
+    return out, (packed,)
 
 
 def _composite_bwd(tile, grid_w, interpret, res, cot):
-    packed, counts = res
+    (packed,) = res
     dcol, dalpha = cot
-    dpacked = _call_bwd(packed, counts, dcol, dalpha, tile, grid_w, interpret)
-    return dpacked, None
+    dpacked = _call_bwd(packed, dcol, dalpha, tile, grid_w, interpret)
+    return (dpacked,)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -258,7 +257,10 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     g_uv = uv[idx]                                    # (T, K, 2)
     g_conic = conic[idx]                              # (T, K, 3)
     g_color = colors[idx]                             # (T, K, 3)
-    g_opac = opacity[idx]                             # (T, K)
+    # validity baked into opacity: entries past the per-tile count get 0,
+    # which makes their alpha exactly 0 in-kernel (no SMEM counts needed)
+    k_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < binning.tile_counts[:, None]
+    g_opac = jnp.where(k_valid, opacity[idx], 0.0)    # (T, K)
     packed = jnp.concatenate([
         jnp.swapaxes(g_uv, 1, 2),
         jnp.swapaxes(g_conic, 1, 2),
@@ -268,8 +270,7 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     ], axis=1)
 
     interpret = jax.default_backend() != "tpu"
-    col, alp = composite_tiles(packed, binning.tile_counts.astype(jnp.int32),
-                               tile, grid_w, interpret)
+    col, alp = composite_tiles(packed, tile, grid_w, interpret)
 
     img = col.reshape(grid_h, grid_w, 3, tile, tile)
     img = img.transpose(0, 3, 1, 4, 2).reshape(grid_h * tile, grid_w * tile, 3)

@@ -1,0 +1,92 @@
+"""End-to-end pipeline: synthetic dataset -> train -> surgical render -> report.
+
+This is the automated version of the reference's manual e2e path
+(single_frame_experiment + render_surgery + validation_reporting).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from omfs4d.core.config import Config
+from omfs4d.io.synthetic import make_synthetic_dataset
+from omfs4d.pipeline.runner import Pipeline
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    out = make_synthetic_dataset(root / "data", n_frames=56, width=64,
+                                 height=64, n_vertices=700, backend="never")
+    return root, out
+
+
+def test_full_pipeline_e2e(synth):
+    root, synth_out = synth
+    data_dir = synth_out["path"]
+
+    cfg = Config()
+    cfg.train.iterations = 80
+    cfg.train.densify_interval = 0
+    cfg.train.opacity_reset_interval = 0
+    cfg.train.max_gaussians = 2048
+    cfg.render.max_per_tile = 128
+    cfg.render.use_pallas = "never"
+    cfg.predict.deterministic_max_frames = 8
+
+    pipe = Pipeline(cfg, root / "work")
+    # the pipeline's model must match the dataset's synthetic head
+    pipe.model = synth_out["model"]
+
+    model_dir = pipe.train(data_dir, root / "model")
+    assert (model_dir / "point_cloud" / "iteration_80").exists()
+    manifests = list((model_dir / "experiment_manifests").glob("*.json"))
+    assert manifests, "experiment manifest missing"
+    payload = json.loads(manifests[0].read_text())
+    assert payload["dataset_fingerprint"]["dataset_hash"]
+
+    det_dir = root / "det"
+    result = pipe.render_surgery(
+        model_dir, data_dir, root / "pred.mp4",
+        lefort_mm=5.0, bsso_mm=3.0,
+        export_frames_dir=str(det_dir),
+    )
+    assert Path(result["video"]).exists()
+    assert result["iteration"] == 80
+    assert abs(result["lefort_offset"] - 0.005) < 1e-9
+    renders = list(Path(result["renders_dir"]).glob("*.png"))
+    assert len(renders) > 0
+
+    report = pipe.report(model_dir, det_dir)
+    assert report["summary"]["count"] > 0
+    scores = model_dir / "eval_strict" / "reports" / "strict_scores.json"
+    assert scores.exists()
+
+
+def test_surgery_actually_changes_pixels(synth):
+    """A nonzero jaw advancement must change the rendered prediction."""
+    root, synth_out = synth
+    data_dir = synth_out["path"]
+    model_dir = root / "model"
+    if not (model_dir / "point_cloud").exists():
+        pytest.skip("depends on test_full_pipeline_e2e")
+
+    cfg = Config()
+    cfg.render.max_per_tile = 128
+    cfg.render.use_pallas = "never"
+    pipe = Pipeline(cfg, root / "work2")
+    pipe.model = synth_out["model"]
+
+    r0 = pipe.render_surgery(model_dir, data_dir, root / "p0.mp4",
+                             lefort_mm=0.0, bsso_mm=0.0,
+                             keep_modified_dataset=False)
+    import cv2
+    f0 = cv2.imread(str(sorted(Path(r0["renders_dir"]).glob("*.png"))[0]))
+
+    r1 = pipe.render_surgery(model_dir, data_dir, root / "p1.mp4",
+                             lefort_mm=0.0, bsso_mm=80.0)
+    f1 = cv2.imread(str(sorted(Path(r1["renders_dir"]).glob("*.png"))[0]))
+    diff = np.abs(f0.astype(np.float32) - f1.astype(np.float32)).mean()
+    assert diff > 0.05, diff
