@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from omfs4d.clinical.surgical import SurgicalCutter
-from tests.test_ops import make_sphere_mesh
+from omfs4d.ops.primitives import make_sphere_mesh
 
 
 @pytest.fixture
