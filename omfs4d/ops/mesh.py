@@ -272,10 +272,18 @@ def laplacian_smooth(mesh: TriMesh, n_iter: int = 20, relaxation_factor: float =
 
     Defaults mirror PyVista's `smooth` (relaxation_factor=0.01), which the
     reference calls with n_iter=30 (ref: dicom_loader.py:157-158).
+    Dispatches to the native meshkit kernel when built.
     """
     if mesh.n_points == 0 or n_iter <= 0:
         return mesh.copy()
     nbr, mask = vertex_adjacency(mesh.faces, mesh.n_points)
+
+    from omfs4d import native
+    nv = native.laplacian_smooth_native(mesh.vertices, nbr, mask,
+                                        n_iter, relaxation_factor)
+    if nv is not None:
+        return TriMesh(nv, mesh.faces.copy())
+
     v = mesh.vertices.astype(np.float64)
     denom = np.maximum(mask.sum(axis=1, keepdims=True), 1)
     has_nbr = mask.any(axis=1, keepdims=True)
@@ -293,13 +301,18 @@ def decimate_cluster(mesh: TriMesh, target_reduction: float) -> TriMesh:
     """Vertex-clustering decimation to ~(1 - target_reduction) of the faces.
 
     Host-side preprocessing (meshes only get decimated once per ingest,
-    ref: dicom_loader.py:161-163); quality upgraded by the native QEM
-    decimator when built (omfs4d/native).
+    ref: dicom_loader.py:161-163).  Uses the native QEM edge-collapse
+    decimator (omfs4d/native) when built, else grid clustering.
     """
     if mesh.n_faces == 0 or not (0.0 < target_reduction < 1.0):
         return mesh.copy()
     keep_frac = 1.0 - target_reduction
     target_faces = max(int(mesh.n_faces * keep_frac), 4)
+
+    from omfs4d import native
+    out = native.qem_decimate_native(mesh.vertices, mesh.faces, target_faces)
+    if out is not None:
+        return TriMesh(out[0], out[1]).clean()
 
     v = mesh.vertices
     lo = v.min(axis=0)
