@@ -49,7 +49,7 @@ N_ROWS = 16
 
 
 def _pixel_grid(tile: int, grid_w: int, t):
-    """(P, 1) pixel-center x and y for tile index t."""
+    """(P, 1) pixel-center x and y for tile index t (a traced scalar)."""
     ty = t // grid_w
     tx = t % grid_w
     P = tile * tile
@@ -62,13 +62,14 @@ def _pixel_grid(tile: int, grid_w: int, t):
     return x, y
 
 
-def _alpha_matrix(packed, tile: int, grid_w: int, K: int):
+def _alpha_matrix(packed, tile: int, grid_w: int, K: int, tid):
     """Recompute the (P, K) effective alpha matrix for one tile.
 
     Validity needs no separate mask: the XLA-side packer zeroes the opacity
-    row beyond each tile's count, which zeroes alpha exactly."""
-    t = pl.program_id(0)
-    x, y = _pixel_grid(tile, grid_w, t)              # (P, 1)
+    row beyond each tile's count, which zeroes alpha exactly.
+    `tid` is pl.program_id(0), hoisted by the caller (program_id cannot be
+    read inside a pl.when branch in interpret mode)."""
+    x, y = _pixel_grid(tile, grid_w, tid)            # (P, 1)
 
     ux = packed[ROW_UX : ROW_UX + 1, :]              # (1, K)
     uy = packed[ROW_UY : ROW_UY + 1, :]
@@ -95,89 +96,112 @@ def _fwd_kernel(packed_ref, color_out_ref, alpha_out_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
     P = tile * tile
+    tid = pl.program_id(0)
 
-    a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, K)
-    lg = jnp.log1p(-a)                                # (P, K)
+    # background tiles (no live gaussian) skip all MXU work
+    empty = jnp.max(packed[ROW_OPAC : ROW_OPAC + 1, :]) <= 0.0
 
-    # exclusive prefix sum over k: S[p, k] = sum_{j < k} lg[p, j]
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    u_strict = (row < col).astype(jnp.float32)
-    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+    @pl.when(empty)
+    def _():
+        color_out_ref[0] = jnp.zeros((3, P), jnp.float32)
+        alpha_out_ref[0] = jnp.zeros((1, P), jnp.float32)
 
-    w = a * jnp.exp(s_excl)                           # (P, K)
-    colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
-    out = jax.lax.dot_general(
-        colors, w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (3, P)
-    color_out_ref[0] = out
-    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
-    alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
+    @pl.when(jnp.logical_not(empty))
+    def _():
+        a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, K, tid)
+        lg = jnp.log1p(-a)                                # (P, K)
+
+        # exclusive prefix sum over k: S[p, k] = sum_{j < k} lg[p, j]
+        row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        u_strict = (row < col).astype(jnp.float32)
+        s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+
+        w = a * jnp.exp(s_excl)                           # (P, K)
+        colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
+        out = jax.lax.dot_general(
+            colors, w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (3, P)
+        color_out_ref[0] = out
+        s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+        alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
 
 
 def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
     P = tile * tile
+    tid = pl.program_id(0)
 
-    a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, K)
-    one_minus = jnp.maximum(1.0 - a, 1e-6)
-    lg = jnp.log(one_minus)
+    empty = jnp.max(packed[ROW_OPAC : ROW_OPAC + 1, :]) <= 0.0
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    u_strict = (row < col).astype(jnp.float32)
-    l_strict = (row > col).astype(jnp.float32)
+    @pl.when(empty)
+    def _():
+        dpacked_ref[0] = jnp.zeros((N_ROWS, K), jnp.float32)
 
-    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
-    t_excl = jnp.exp(s_excl)
-    w = a * t_excl                                    # (P, K)
+    @pl.when(jnp.logical_not(empty))
+    def _():
+        a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, K, tid)
+        one_minus = jnp.maximum(1.0 - a, 1e-6)
+        lg = jnp.log(one_minus)
 
-    dcol = dcol_ref[0]                                # (3, P)
-    dalpha = dalpha_ref[0]                            # (1, P)
-    colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
+        row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        u_strict = (row < col).astype(jnp.float32)
 
-    # dcolor[c, k] = sum_p dcol[c, p] w[p, k]
-    dcolors = jnp.dot(dcol, w, preferred_element_type=jnp.float32)   # (3, K)
+        s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+        t_excl = jnp.exp(s_excl)
+        w = a * t_excl                                    # (P, K)
 
-    # dw[p, k] = sum_c dcol[c, p] colors[c, k]
-    dw = jax.lax.dot_general(
-        dcol, colors,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (P, K)
+        dcol = dcol_ref[0]                                # (3, P)
+        dalpha = dalpha_ref[0]                            # (1, P)
+        colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
 
-    # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]
-    m = dw * w
-    suffix = jnp.dot(m, l_strict, preferred_element_type=jnp.float32)
+        # dcolor[c, k] = sum_p dcol[c, p] w[p, k]
+        dcolors = jnp.dot(dcol, w, preferred_element_type=jnp.float32)  # (3, K)
 
-    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
-    t_total = jnp.exp(s_total)
-    dA = dalpha.reshape(P, 1)                          # (P, 1)
+        # dw[p, k] = sum_c dcol[c, p] colors[c, k]
+        dw = jax.lax.dot_general(
+            dcol, colors,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (P, K)
 
-    da = dw * t_excl - suffix / one_minus + dA * t_total / one_minus
-    da = jnp.where(grad_ok, da, 0.0)
+        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]  —  m @ u_strictᵀ
+        m = dw * w
+        suffix = jax.lax.dot_general(
+            m, u_strict,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    o = packed[ROW_OPAC : ROW_OPAC + 1, :]            # (1, K)
-    e = a_full / jnp.maximum(o, 1e-12)                # exp(power), recomputed
-    do = jnp.sum(da * e, axis=0, keepdims=True)       # (1, K)
-    dq = da * a_full                                   # (P, K)
+        s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+        t_total = jnp.exp(s_total)
+        dA = dalpha.reshape(P, 1)                          # (P, 1)
 
-    ca = packed[ROW_CA : ROW_CA + 1, :]
-    cb = packed[ROW_CB : ROW_CB + 1, :]
-    cc = packed[ROW_CC : ROW_CC + 1, :]
-    dux = jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
-    duy = jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
-    dca = jnp.sum(dq * (-0.5 * dx * dx), axis=0, keepdims=True)
-    dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
-    dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
+        da = dw * t_excl - suffix / one_minus + dA * t_total / one_minus
+        da = jnp.where(grad_ok, da, 0.0)
 
-    zeros = jnp.zeros((N_ROWS - 9, K), jnp.float32)
-    dpacked_ref[0] = jnp.concatenate(
-        [dux, duy, dca, dcb, dcc, dcolors, do, zeros], axis=0
-    )
+        o = packed[ROW_OPAC : ROW_OPAC + 1, :]            # (1, K)
+        e = a_full / jnp.maximum(o, 1e-12)                # exp(power)
+        do = jnp.sum(da * e, axis=0, keepdims=True)       # (1, K)
+        dq = da * a_full                                   # (P, K)
+
+        ca = packed[ROW_CA : ROW_CA + 1, :]
+        cb = packed[ROW_CB : ROW_CB + 1, :]
+        cc = packed[ROW_CC : ROW_CC + 1, :]
+        dux = jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
+        duy = jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
+        dca = jnp.sum(dq * (-0.5 * dx * dx), axis=0, keepdims=True)
+        dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
+        dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
+
+        zeros = jnp.zeros((N_ROWS - 9, K), jnp.float32)
+        dpacked_ref[0] = jnp.concatenate(
+            [dux, duy, dca, dcb, dcc, dcolors, do, zeros], axis=0
+        )
 
 
 def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):

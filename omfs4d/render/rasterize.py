@@ -143,25 +143,21 @@ def _tile_pixel_centers(grid_w: int, grid_h: int, tile: int) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1).astype(jnp.float32)    # (T, P, 2)
 
 
-def composite_reference(
-    uv: jnp.ndarray,          # (N, 2)
-    conic: jnp.ndarray,       # (N, 3)
-    colors: jnp.ndarray,      # (N, 3)
-    opacity: jnp.ndarray,     # (N,)
-    binning: TileBinning,
-    width: int,
-    height: int,
-    tile: int = 16,
+def composite_tiles_xla(
+    uv, conic, colors, opacity,
+    lists: jnp.ndarray,       # (T, K) per-tile gaussian indices
+    counts: jnp.ndarray,      # (T,)
+    pix: jnp.ndarray,         # (T, P, 2) pixel centers
     chunk_tiles: int = 64,
 ):
-    """Pure-JAX tile compositing.  Returns (image (H, W, 3), alpha (H, W))."""
-    grid_w = (width + tile - 1) // tile
-    grid_h = (height + tile - 1) // tile
-    num_tiles = grid_w * grid_h
-    P = tile * tile
-    K = binning.tile_lists.shape[1]
+    """Per-tile compositing in pure XLA over an arbitrary tile subset.
 
-    pix = _tile_pixel_centers(grid_w, grid_h, tile)          # (T, P, 2)
+    Shared by the single-device reference path and the tile-sharded
+    multi-chip path (omfs4d.parallel.shard) — shards pass their local slice
+    of (lists, counts, pix).  Returns ((T, P, 3) colors, (T, P) alpha).
+    """
+    num_tiles, K = lists.shape
+    P = pix.shape[1]
 
     def tile_fn(args):
         idx, count, pix_t = args                             # (K,), (), (P, 2)
@@ -189,27 +185,54 @@ def composite_reference(
         return color, 1.0 - trans[-1]
 
     pad_tiles = (-num_tiles) % chunk_tiles
-    lists = jnp.pad(binning.tile_lists, ((0, pad_tiles), (0, 0)))
-    counts = jnp.pad(binning.tile_counts, (0, pad_tiles))
-    pix_pad = jnp.pad(pix, ((0, pad_tiles), (0, 0), (0, 0)))
+    lists_p = jnp.pad(lists, ((0, pad_tiles), (0, 0)))
+    counts_p = jnp.pad(counts, (0, pad_tiles))
+    pix_p = jnp.pad(pix, ((0, pad_tiles), (0, 0), (0, 0)))
     n_chunks = (num_tiles + pad_tiles) // chunk_tiles
 
     colors_out, alphas_out = jax.lax.map(
         jax.vmap(tile_fn),
         (
-            lists.reshape(n_chunks, chunk_tiles, K),
-            counts.reshape(n_chunks, chunk_tiles),
-            pix_pad.reshape(n_chunks, chunk_tiles, P, 2),
+            lists_p.reshape(n_chunks, chunk_tiles, K),
+            counts_p.reshape(n_chunks, chunk_tiles),
+            pix_p.reshape(n_chunks, chunk_tiles, P, 2),
         ),
     )
-    colors_out = colors_out.reshape(-1, P, 3)[:num_tiles]
-    alphas_out = alphas_out.reshape(-1, P)[:num_tiles]
+    return (colors_out.reshape(-1, P, 3)[:num_tiles],
+            alphas_out.reshape(-1, P)[:num_tiles])
 
+
+def assemble_tiles(colors_out, alphas_out, width, height, tile):
+    """(T, P, ...) per-tile results -> (H, W, ...) image."""
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
     img = colors_out.reshape(grid_h, grid_w, tile, tile, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(grid_h * tile, grid_w * tile, 3)
     alp = alphas_out.reshape(grid_h, grid_w, tile, tile)
     alp = alp.transpose(0, 2, 1, 3).reshape(grid_h * tile, grid_w * tile)
     return img[:height, :width], alp[:height, :width]
+
+
+def composite_reference(
+    uv: jnp.ndarray,          # (N, 2)
+    conic: jnp.ndarray,       # (N, 3)
+    colors: jnp.ndarray,      # (N, 3)
+    opacity: jnp.ndarray,     # (N,)
+    binning: TileBinning,
+    width: int,
+    height: int,
+    tile: int = 16,
+    chunk_tiles: int = 64,
+):
+    """Pure-JAX tile compositing.  Returns (image (H, W, 3), alpha (H, W))."""
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    pix = _tile_pixel_centers(grid_w, grid_h, tile)          # (T, P, 2)
+    colors_out, alphas_out = composite_tiles_xla(
+        uv, conic, colors, opacity,
+        binning.tile_lists, binning.tile_counts, pix, chunk_tiles,
+    )
+    return assemble_tiles(colors_out, alphas_out, width, height, tile)
 
 
 def _use_pallas(mode: str) -> bool:

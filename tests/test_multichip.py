@@ -76,3 +76,31 @@ def test_dp_gradients_match_single_device():
         np.asarray(s1.gaussians.color), np.asarray(s2.gaussians.color),
         atol=1e-4,
     )
+
+
+@pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
+def test_tile_sharded_rasterize_matches_single():
+    """Spatially sharded rendering must be pixel-identical to single-device."""
+    from jax.sharding import Mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.render.rasterize import rasterize
+    from omfs4d.parallel.shard import rasterize_tile_sharded
+    from tests.test_rasterize import random_scene
+
+    cam = look_at_camera(eye=(0, 0, -2.5), target=(0, 0, 0), fx=200.0,
+                         width=64, height=64)
+    means, rot, scales, opacity, colors = random_scene(80, seed=5)
+    args = tuple(jnp.asarray(a) for a in (means, rot, scales, opacity, colors))
+
+    img1, aux1 = rasterize(*args, cam, 64, 64, max_per_tile=128,
+                           backend="never")
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tile",))
+    img2, aux2 = jax.jit(
+        lambda *a: rasterize_tile_sharded(*a, cam, 64, 64, mesh=mesh,
+                                          max_per_tile=128)
+    )(*args)
+
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux1["alpha"]),
+                               np.asarray(aux2["alpha"]), atol=1e-5)
