@@ -15,6 +15,10 @@ import json
 import sys
 import time
 
+
+def _mark(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
 import numpy as np
 
 BASELINE_TRAIN_ITERS_PER_SEC = 30_000 / (30 * 60)   # ~16.7 (app.py:1347)
@@ -72,10 +76,13 @@ def main():
     target_alive = 2048 if quick else 65_536
     max_per_tile = 128 if quick else 512
 
+    _mark("jax init")
     backend = jax.default_backend()
     use_pallas = "always" if (backend == "tpu" and pallas_smoke_ok()) else "never"
 
+    _mark(f"backend={backend} pallas={use_pallas}")
     model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=n_vertices))
+    _mark("asset built")
     W = H = size
     cam = look_at_camera(eye=(0, 0, 0.55), target=(0, 0, 0), fx=1.7 * W,
                          width=W, height=H)
@@ -130,6 +137,7 @@ def main():
     }
 
     idx0 = jnp.zeros((1,), jnp.int32)
+    _mark("compiling train step")
     state, m = trainer._step_fn(state, data, idx0)          # compile + warmup
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
@@ -138,8 +146,10 @@ def main():
                                     jnp.full((1,), i % T, jnp.int32))
     jax.block_until_ready(m["loss"])
     train_ips = n_timed / (time.perf_counter() - t0)
+    _mark(f"train_ips={train_ips:.2f}")
 
     # ── render-only fps ──────────────────────────────────────
+    _mark("compiling render")
     img = trainer.render_frame(state, verts[0], cam)
     jax.block_until_ready(img)
     t0 = time.perf_counter()
@@ -147,6 +157,7 @@ def main():
         img = trainer.render_frame(state, verts[i % T], cam)
     jax.block_until_ready(img)
     render_fps = n_timed / (time.perf_counter() - t0)
+    _mark(f"render_fps={render_fps:.2f}")
 
     # ── FLAME-fit iters/sec (landmark stage, T=150 frames) ───
     Tt = 16 if quick else 150
@@ -167,6 +178,7 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
+    _mark("compiling flame fit")
     fit_jit = jax.jit(fit_step)
     p, opt_state, loss = fit_jit(p, opt_state)
     jax.block_until_ready(loss)

@@ -18,20 +18,36 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return jnp.outer(g, g)
 
 
-def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Windowed SSIM over (H, W, C) images in [0, 1]."""
-    w = _gaussian_window(window_size)[:, :, None, None]        # (k, k, 1, 1)
-    c = pred.shape[-1]
-    kernel = jnp.tile(w, (1, 1, 1, c))                          # depthwise
+def _band_matrix(n: int, size: int, sigma: float) -> jnp.ndarray:
+    """(n, n) banded gaussian-blur matrix (same coefficients as the separable
+    window; border rows are truncated and masked out in ssim)."""
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    idx = jnp.arange(n)
+    offs = idx[:, None] - idx[None, :] + (size - 1) // 2        # (n, n)
+    inband = (offs >= 0) & (offs < size)
+    return jnp.where(inband, g[jnp.clip(offs, 0, size - 1)], 0.0)
 
-    def filt(img):
-        img4 = img[None]                                        # (1, H, W, C)
-        return jax.lax.conv_general_dilated(
-            img4, kernel,
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )[0]
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Windowed SSIM over (H, W, C) images in [0, 1].
+
+    TPU-first formulation: the separable gaussian window is applied as two
+    banded matmuls (blur_H @ img @ blur_W^T), which runs on the MXU.  A
+    depthwise-conv formulation pads C=3 channels to the 128-lane tile on
+    TPU and is dramatically slower.  Border rows/cols (half-window) are
+    excluded from the mean, matching a VALID-padded window.
+    """
+    H, W, C = pred.shape
+    bh = _band_matrix(H, window_size, 1.5)                      # (H, H)
+    bw = _band_matrix(W, window_size, 1.5)                      # (W, W)
+
+    def filt(img):                                              # (H, W, C)
+        y = jnp.einsum("hk,kwc->hwc", bh, img,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("hkc,wk->hwc", y, bw,
+                          preferred_element_type=jnp.float32)
 
     mu_x = filt(pred)
     mu_y = filt(target)
@@ -45,7 +61,9 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.n
     s = ((2 * mu_xy + c1) * (2 * sig_xy + c2)) / (
         (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
     )
-    return jnp.mean(s)
+    half = window_size // 2
+    interior = s[half : H - half, half : W - half]
+    return jnp.mean(interior)
 
 
 def dssim_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
