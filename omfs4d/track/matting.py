@@ -1,0 +1,139 @@
+"""Foreground matting -> fg_masks (host-side pluggable stage).
+
+The reference delegates matting to GPU NN models (robust_video_matting /
+BackgroundMattingV2 through VHAP, ref: preprocess_video.py:132,
+app.py:1281).  Masks are an *input contract*, not core compute (SURVEY.md
+§2.2), so this module provides a registry — any callable
+(frames (T, H, W, 3) uint8) -> (T, H, W) float mask can plug in — plus two
+built-ins that need no ML weights:
+
+  * ``median_background``: a static-camera background model (per-pixel
+    temporal median) + color-distance threshold + morphological cleanup;
+    works well for the reference's intended capture setup (tripod selfie
+    video, ref: app.py:1191).
+  * ``none``: full-foreground masks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+_MATTERS: dict[str, Callable] = {}
+
+
+def register_matting(name: str):
+    def deco(fn: Callable):
+        _MATTERS[name] = fn
+        return fn
+    return deco
+
+
+def _box_blur(mask: np.ndarray, k: int = 5) -> np.ndarray:
+    """Separable box blur via cumulative sums (no cv2 dependency needed)."""
+    pad = k // 2
+    out = mask.astype(np.float32)
+    for axis in (-2, -1):
+        p = np.take(out, np.clip(np.arange(-pad, out.shape[axis] + pad),
+                                 0, out.shape[axis] - 1), axis=axis)
+        c = np.cumsum(p, axis=axis)
+        lead = np.take(c, np.arange(k - 1, k - 1 + out.shape[axis]), axis=axis)
+        lag = np.concatenate([
+            np.zeros_like(np.take(c, [0], axis=axis)),
+            np.take(c, np.arange(0, out.shape[axis] - 1), axis=axis),
+        ], axis=axis)
+        out = (lead - lag) / k
+    return out
+
+
+@register_matting("none")
+def _full_fg(frames: np.ndarray, **_) -> np.ndarray:
+    return np.ones(frames.shape[:3], dtype=np.float32)
+
+
+@register_matting("median_background")
+def _median_background(
+    frames: np.ndarray,
+    threshold: float = 30.0,
+    sample_every: int = 5,
+    smooth: int = 7,
+    **_,
+) -> np.ndarray:
+    """Static-camera matting: per-pixel temporal median is the background;
+    pixels further than `threshold` (L2 in RGB) are foreground."""
+    f = frames.astype(np.float32)
+    bg = np.median(f[::max(sample_every, 1)], axis=0)          # (H, W, 3)
+    dist = np.linalg.norm(f - bg[None], axis=-1)               # (T, H, W)
+    mask = (dist > threshold).astype(np.float32)
+    if smooth > 1:
+        mask = np.stack([_box_blur(m, smooth) for m in mask])
+        mask = (mask > 0.5).astype(np.float32)
+    return mask
+
+
+@register_matting("border_color")
+def _border_color(
+    frames: np.ndarray,
+    threshold: float = 35.0,
+    border: int = 8,
+    k: int = 4,
+    smooth: int = 5,
+    keep_largest: bool = True,
+    **_,
+) -> np.ndarray:
+    """Head-video matting: the subject is centered, so the frame border is
+    background.  Fits k color modes to border pixels (Lloyd k-means) and
+    classifies pixels by distance to the nearest mode; keeps the largest
+    connected foreground component and fills holes.
+
+    This is the right default for the reference's capture protocol (static
+    selfie video, subject centered) where a temporal-median background
+    model would absorb the subject."""
+    f = frames.astype(np.float32)
+    T, H, W = f.shape[:3]
+
+    bp = np.concatenate([
+        f[:, :border].reshape(-1, 3), f[:, -border:].reshape(-1, 3),
+        f[:, :, :border].reshape(-1, 3), f[:, :, -border:].reshape(-1, 3),
+    ])
+    rng = np.random.default_rng(0)
+    sample = bp[rng.choice(len(bp), size=min(len(bp), 20_000), replace=False)]
+    centers = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(10):
+        d = np.linalg.norm(sample[:, None] - centers[None], axis=-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            sel = sample[assign == j]
+            if len(sel):
+                centers[j] = sel.mean(0)
+
+    d = np.linalg.norm(f[..., None, :] - centers[None, None, None], axis=-1)
+    mask = (d.min(-1) > threshold).astype(np.float32)          # (T, H, W)
+
+    if smooth > 1:
+        mask = np.stack([_box_blur(m, smooth) for m in mask])
+        mask = (mask > 0.5).astype(np.float32)
+
+    if keep_largest:
+        from scipy import ndimage
+        out = np.zeros_like(mask)
+        for t in range(T):
+            lab, n = ndimage.label(mask[t] > 0.5)
+            if n:
+                sizes = ndimage.sum(mask[t] > 0.5, lab, range(1, n + 1))
+                keep = lab == (1 + int(np.argmax(sizes)))
+                out[t] = ndimage.binary_fill_holes(keep).astype(np.float32)
+        mask = out
+    return mask
+
+
+def compute_masks(frames: np.ndarray, method: str = "border_color",
+                  **kwargs) -> np.ndarray:
+    """Run a registered matting method -> (T, H, W) float32 in {0, 1}."""
+    if method not in _MATTERS:
+        raise KeyError(
+            f"matting method {method!r} not registered; "
+            f"available: {sorted(_MATTERS)}"
+        )
+    return _MATTERS[method](np.asarray(frames), **kwargs)
