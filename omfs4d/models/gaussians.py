@@ -73,6 +73,44 @@ def triangle_frames(verts: jnp.ndarray, faces: jnp.ndarray):
     return R, t, s
 
 
+@jax.custom_vjp
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`table[idx]` with a segment-reduction backward.
+
+    XLA's gather transpose is a scatter-add, which serializes badly on TPU
+    for many-to-few index patterns (N gaussians -> F faces).  The custom
+    backward sorts cotangents by index and reduces each segment as a
+    difference of cumulative sums — sort + gathers only, no scatter.
+    """
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape)
+
+
+def _gather_rows_bwd(res, ct):
+    idx, table_shape = res
+    n_rows = table_shape[0]
+    row_shape = table_shape[1:]
+    flat_idx = idx.reshape(-1)
+    flat_ct = ct.reshape((flat_idx.shape[0],) + row_shape)
+    order = jnp.argsort(flat_idx)
+    sorted_idx = flat_idx[order]
+    sorted_ct = flat_ct[order]
+    cs = jnp.concatenate(
+        [jnp.zeros((1,) + row_shape, ct.dtype),
+         jnp.cumsum(sorted_ct, axis=0)], axis=0)
+    starts = jnp.searchsorted(
+        sorted_idx, jnp.arange(n_rows + 1, dtype=sorted_idx.dtype), side="left"
+    )
+    d_table = cs[starts[1:]] - cs[starts[:-1]]             # (F, *row_shape)
+    return d_table, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
     """Local -> world gaussian parameters for one posed mesh.
 
@@ -80,9 +118,14 @@ def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
              opacities (N,), colors (N, 3)).
     """
     R_f, t_f, s_f = triangle_frames(verts, faces)
-    Rp = R_f[g.parent_face]                    # (N, 3, 3)
-    tp = t_f[g.parent_face]
-    sp = s_f[g.parent_face]
+    F = faces.shape[0]
+    # single fused (F, 13) gather with segment-reduction backward
+    face_data = jnp.concatenate(
+        [R_f.reshape(F, 9), t_f, s_f[:, None]], axis=1)
+    gd = gather_rows(face_data, g.parent_face)             # (N, 13)
+    Rp = gd[:, :9].reshape(-1, 3, 3)
+    tp = gd[:, 9:12]
+    sp = gd[:, 12]
 
     means = tp + sp[:, None] * jnp.einsum("nij,nj->ni", Rp, g.mu_local)
     rot = Rp @ quat_to_matrix(g.quat_local)

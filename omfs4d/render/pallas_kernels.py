@@ -271,6 +271,8 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     scatter-add the CUDA backward does with atomics); the Pallas kernel does
     the math-dense compositing.
     """
+    from omfs4d.models.gaussians import gather_rows
+
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
     num_tiles = grid_w * grid_h
@@ -278,18 +280,18 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     T, K = idx.shape
     P = tile * tile
 
-    g_uv = uv[idx]                                    # (T, K, 2)
-    g_conic = conic[idx]                              # (T, K, 3)
-    g_color = colors[idx]                             # (T, K, 3)
+    # single fused (N, 9) parameter table -> one gather whose backward is a
+    # sorted segment reduction (gather_rows) instead of a TPU scatter-add
+    params9 = jnp.concatenate(
+        [uv, conic, colors, opacity[:, None]], axis=1)   # (N, 9)
+    g9 = gather_rows(params9, idx)                       # (T, K, 9)
     # validity baked into opacity: entries past the per-tile count get 0,
     # which makes their alpha exactly 0 in-kernel (no SMEM counts needed)
     k_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < binning.tile_counts[:, None]
-    g_opac = jnp.where(k_valid, opacity[idx], 0.0)    # (T, K)
+    g9 = jnp.concatenate(
+        [g9[..., :8], jnp.where(k_valid, g9[..., 8], 0.0)[..., None]], axis=-1)
     packed = jnp.concatenate([
-        jnp.swapaxes(g_uv, 1, 2),
-        jnp.swapaxes(g_conic, 1, 2),
-        jnp.swapaxes(g_color, 1, 2),
-        g_opac[:, None, :],
+        jnp.swapaxes(g9, 1, 2),                          # (T, 9, K)
         jnp.zeros((T, N_ROWS - 9, K), jnp.float32),
     ], axis=1)
 
