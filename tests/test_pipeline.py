@@ -90,3 +90,57 @@ def test_surgery_actually_changes_pixels(synth):
     f1 = cv2.imread(str(sorted(Path(r1["renders_dir"]).glob("*.png"))[0]))
     diff = np.abs(f0.astype(np.float32) - f1.astype(np.float32)).mean()
     assert diff > 0.05, diff
+
+
+def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
+    """frames dir -> landmarks -> staged tracking -> contract dataset."""
+    import shutil
+    from omfs4d.core.config import Config
+    from omfs4d.io.dataset import FrameDataset
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.pipeline.runner import Pipeline
+    from omfs4d.track.landmarks import detect_landmarks, save_landmarks
+
+    root, synth_out = synth
+    src = synth_out["path"]
+
+    # frames dir in the preprocess-stage layout
+    frames_dir = tmp_path / "pre"
+    (frames_dir / "images").mkdir(parents=True)
+    for p in sorted((src / "images").glob("*.png"))[:8]:
+        shutil.copy2(p, frames_dir / "images" / p.name)
+
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * 64,
+                         width=64, height=64)
+    # synthetic GT landmarks for the 8 frames
+    params8 = {k: (v if k == "shape" else v[:8])
+               for k, v in synth_out["params"].items()}
+    lmk, valid = detect_landmarks(None, method="synthetic",
+                                  model=synth_out["model"], params=params8,
+                                  cameras=cam)
+    save_landmarks(frames_dir / "images" / "landmarks.npz", lmk, valid)
+
+    cfg = Config()
+    cfg.track.n_shape = 20
+    cfg.track.n_expr = 10
+    cfg.track.steps_lmk_init_rigid = 40
+    cfg.track.steps_lmk_init_all = 40
+    cfg.track.steps_rgb_init_texture = 10
+    cfg.track.steps_rgb_init_all = 10
+    cfg.track.steps_rgb_sequential = 1
+    cfg.track.epochs_global = 1
+    cfg.render.max_per_tile = 128
+    cfg.render.use_pallas = "never"
+
+    pipe = Pipeline(cfg, tmp_path / "work")
+    pipe.model = synth_out["model"]
+    out = pipe.track(frames_dir, cam, landmark_method="file")
+
+    ds = FrameDataset(out, split="train")
+    assert len(ds) >= 7
+    assert ds.flame_params["shape"].shape == (300,)
+    assert ds.flame_params["expr"].shape[1] == 100
+    p0 = ds.load_frame_params(0)
+    assert "jaw_pose" in p0 and "translation" in p0
+    assert (out / "canonical_flame_param.npz").exists()
+    assert (out / "points3d.ply").exists()
