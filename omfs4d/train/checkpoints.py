@@ -29,12 +29,12 @@ def restore_state(path: str | Path, template=None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(Path(path).resolve())
     if template is not None:
-        leaves_t, treedef = jax.tree_util.tree_flatten(template)
-        leaves_r = jax.tree_util.tree_leaves(restored)
-        return jax.tree_util.tree_unflatten(treedef, leaves_r)
-    return restored
+        # restore against the template structure (leaf order of the raw
+        # restore is dict-alphabetical, not NamedTuple-positional)
+        item = jax.tree_util.tree_map(np.asarray, template)
+        return ckptr.restore(Path(path).resolve(), item=item)
+    return ckptr.restore(Path(path).resolve())
 
 
 def latest_iteration(output_dir: str | Path) -> int | None:

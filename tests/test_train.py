@@ -150,3 +150,31 @@ class TestGates:
             json.dumps({"frames": frames}))
         with pytest.raises(QualityGateError):
             run_quality_gates(tmp_path)
+
+
+class TestOrbaxCheckpoint:
+    def test_state_roundtrip(self, scene, tmp_path):
+        from omfs4d.train.checkpoints import restore_state, save_state
+        model, cam, verts, img = scene
+        cfg = TrainConfig(iterations=5, densify_interval=0,
+                          opacity_reset_interval=0, max_gaussians=512)
+        trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                                max_per_tile=64, use_pallas="never")
+        state = trainer.init_state(capacity=512)
+        state, _ = trainer._step_fn(
+            state, {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()},
+            jnp.zeros(1, jnp.int32))
+
+        p = save_state(tmp_path / "ckpt", state)
+        restored = restore_state(p, template=state)
+        np.testing.assert_allclose(np.asarray(restored.gaussians.mu_local),
+                                   np.asarray(state.gaussians.mu_local))
+        np.testing.assert_allclose(np.asarray(restored.grad_accum),
+                                   np.asarray(state.grad_accum))
+        assert int(restored.step) == int(state.step)
+
+        # restored state must continue training without recompilation errors
+        state2, m = trainer._step_fn(
+            restored, {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()},
+            jnp.zeros(1, jnp.int32))
+        assert np.isfinite(float(m["loss"]))
