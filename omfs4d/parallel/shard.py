@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -92,3 +93,147 @@ def rasterize_tile_sharded(
         background = jnp.ones((3,), jnp.float32)
     img = img + (1.0 - alpha)[..., None] * background
     return img, {"alpha": alpha, "overflow": binning.overflow}
+
+
+# ── gaussian-axis (model-parallel) sharding ─────────────────
+#
+# For avatars too large to replicate, the N-gaussian axis is sharded and
+# re-partitioned BY DEPTH for each frame: the camera-space depth range is
+# cut into n_dev slices, an all_to_all routes every gaussian to its slice's
+# device, each device composites its slice over the full tile grid, and the
+# per-slice (color, transmittance) pairs are merged with the "over"
+# operator — associative across depth-ordered groups, so the result is
+# exactly the single-device composite:
+#
+#     C = sum_s C_s * prod_{r<s} T_r ,   T = prod_s T_s
+#
+# This is the framework's EP analogue (SURVEY.md §2.3: "gaussian-sharding
+# ... ppermute/all-to-all exchange to the tile-owning device").
+
+N_CHAN = 12  # ux uy | conic a b c | r g b | opac | depth | radius
+
+
+def _pack_channels(proj, colors, opacity):
+    return jnp.concatenate([
+        proj["uv"], proj["conic"], colors, opacity[:, None],
+        proj["depth"][:, None], proj["radius"][:, None],
+    ], axis=1)
+
+
+def render_gaussian_sharded(
+    means, rotations, scales, opacity, colors,
+    camera: Camera,
+    width: int, height: int,
+    mesh: Mesh, axis: str = "gauss",
+    background=None,
+    tile: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 36,
+    slice_capacity_factor: float = 2.0,
+    near: float = 0.01,
+):
+    """Rasterize with the gaussian axis sharded over `axis` of `mesh`.
+
+    Inputs are (N, ...) with N divisible by the axis size; shard them with
+    P(axis) on axis 0 (or pass replicated arrays — shard_map splits them).
+    Returns a replicated (image, aux).
+    """
+    n_dev = mesh.shape[axis]
+    N = means.shape[0]
+    assert N % n_dev == 0, f"N={N} not divisible by {n_dev} devices"
+    n_local = N // n_dev
+    cap = int(np.ceil(slice_capacity_factor * n_local))
+
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    pix = _tile_pixel_centers(grid_w, grid_h, tile)
+    num_tiles = grid_w * grid_h
+    if background is None:
+        background = jnp.ones((3,), jnp.float32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _render(means_l, rot_l, scales_l, opac_l, colors_l):
+        proj = project_gaussians(camera, means_l, rot_l, scales_l, near=near)
+        live = proj["in_front"] & (opac_l > 1.0 / 255.0)
+        opac_eff = jnp.where(live, opac_l, 0.0)
+        depth = jnp.where(live, proj["depth"], jnp.inf)
+
+        # global depth range over the axis
+        dmin = jax.lax.pmin(jnp.min(jnp.where(live, depth, jnp.inf)), axis)
+        dmax = jax.lax.pmax(jnp.max(jnp.where(live, proj["depth"], -jnp.inf)),
+                            axis)
+        span = jnp.maximum(dmax - dmin, 1e-6)
+        edges = dmin + span * jnp.arange(1, n_dev, dtype=jnp.float32) / n_dev
+        slice_id = jnp.clip(
+            jnp.searchsorted(edges, jnp.where(live, proj["depth"], dmin)),
+            0, n_dev - 1,
+        ).astype(jnp.int32)
+
+        # fixed-capacity per-slice send buffers (sorted-segment gathers)
+        chans = _pack_channels(proj, colors_l, opac_eff)      # (n_local, 12)
+        order = jnp.argsort(slice_id)
+        sorted_sid = slice_id[order]
+        sorted_ch = chans[order]
+        starts = jnp.searchsorted(
+            sorted_sid, jnp.arange(n_dev + 1, dtype=sorted_sid.dtype),
+            side="left",
+        ).astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        pos = starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        send = jnp.where(
+            valid[..., None],
+            sorted_ch[jnp.clip(pos, 0, n_local - 1)],
+            0.0,
+        )                                                     # (n_dev, cap, 12)
+        send_overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)                # (n_dev, cap, 12)
+        ch = recv.reshape(n_dev * cap, N_CHAN)
+
+        uv = ch[:, 0:2]
+        conic = ch[:, 2:5]
+        cols = ch[:, 5:8]
+        opac = ch[:, 8]
+        depth_r = ch[:, 9]
+        radius = ch[:, 10]
+        proj_slice = {
+            "uv": uv,
+            "conic": conic,
+            "depth": jnp.where(opac > 0, depth_r, jnp.inf),
+            "radius": radius,
+            "in_front": opac > 0,
+        }
+        binning = bin_gaussians(proj_slice, opac, width, height, tile,
+                                max_per_tile, max_tiles_per_gaussian)
+        col_s, alp_s = composite_tiles_xla(
+            uv, conic, cols, opac,
+            binning.tile_lists, binning.tile_counts, pix,
+        )                                                     # (T, P, 3), (T, P)
+        trans_s = 1.0 - alp_s
+
+        # depth-ordered merge of per-slice composites over the axis
+        all_col = jax.lax.all_gather(col_s, axis)             # (D, T, P, 3)
+        all_trans = jax.lax.all_gather(trans_s, axis)         # (D, T, P)
+        log_t = jnp.log(jnp.maximum(all_trans, 1e-20))
+        cum = jnp.cumsum(log_t, axis=0)
+        t_excl = jnp.exp(jnp.concatenate(
+            [jnp.zeros_like(cum[:1]), cum[:-1]], axis=0))
+        color = jnp.sum(all_col * t_excl[..., None], axis=0)  # (T, P, 3)
+        t_total = jnp.exp(cum[-1])
+
+        overflow = jax.lax.psum(binning.overflow + send_overflow, axis)
+        return color, 1.0 - t_total, overflow
+
+    col_tiles, alpha_tiles, overflow = _render(means, rotations, scales,
+                                               opacity, colors)
+    img, alpha = assemble_tiles(col_tiles, alpha_tiles, width, height, tile)
+    img = img + (1.0 - alpha)[..., None] * background
+    return img, {"alpha": alpha, "overflow": overflow}

@@ -192,6 +192,12 @@ class AvatarTrainer:
                 ds = dssim_loss(img, gt)
                 return (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * ds, (img, overflow)
 
+            if cfg.batch_frames == 1:
+                # B == 1: skip vmap — batched lax.sort/gather lowerings are
+                # measurably slower than their unbatched forms on TPU
+                loss1, (img1, ov1) = one(verts[0], w2c[0], fx[0], fy[0],
+                                         cx[0], cy[0], imgs[0])
+                return loss1, (img1[None], ov1[None])
             losses, (rendered, overflow) = jax.vmap(one)(
                 verts, w2c, fx, fy, cx, cy, imgs
             )

@@ -104,3 +104,33 @@ def test_tile_sharded_rasterize_matches_single():
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux1["alpha"]),
                                np.asarray(aux2["alpha"]), atol=1e-5)
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_gaussian_sharded_rasterize_matches_single():
+    """Depth-sliced gaussian-axis sharding must match single-device exactly
+    (no per-tile overflow => identical ordering and compositing)."""
+    from jax.sharding import Mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.render.rasterize import rasterize
+    from omfs4d.parallel.shard import render_gaussian_sharded
+    from tests.test_rasterize import random_scene
+
+    cam = look_at_camera(eye=(0, 0, -2.5), target=(0, 0, 0), fx=200.0,
+                         width=64, height=64)
+    means, rot, scales, opacity, colors = random_scene(96, seed=11)
+    args = tuple(jnp.asarray(a) for a in (means, rot, scales, opacity, colors))
+
+    img1, aux1 = rasterize(*args, cam, 64, 64, max_per_tile=128,
+                           backend="never")
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+    img2, aux2 = jax.jit(
+        lambda *a: render_gaussian_sharded(*a, cam, 64, 64, mesh=mesh,
+                                           max_per_tile=128)
+    )(*args)
+
+    assert int(aux2["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux1["alpha"]),
+                               np.asarray(aux2["alpha"]), atol=2e-4)
