@@ -110,7 +110,7 @@ def rasterize_tile_sharded(
 # This is the framework's EP analogue (SURVEY.md §2.3: "gaussian-sharding
 # ... ppermute/all-to-all exchange to the tile-owning device").
 
-N_CHAN = 12  # ux uy | conic a b c | r g b | opac | depth | radius
+N_CHAN = 11  # ux uy | conic a b c | r g b | opac | depth | radius
 
 
 def _pack_channels(proj, colors, opacity):
