@@ -84,3 +84,72 @@ def test_landmark_detector_registry(setup, tmp_path):
 def test_unknown_detector_raises():
     with pytest.raises(KeyError):
         detect_landmarks(".", method="nope")
+
+
+def test_photometric_stage_improves_fit(tmp_path):
+    """rgb stages must reduce photometric error and refine a perturbed pose
+    (the VHAP-replacement claim, SURVEY.md §2.2 'VHAP tracker')."""
+    import jax
+    from omfs4d.io.synthetic import (
+        animated_flame_params, orbit_c2w_nerf, textured_gt_avatar,
+    )
+    from omfs4d.models.flame import FlameModel
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.ops.camera import camera_from_nerf
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    Tf, S = 4, 64
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=700, seed=0))
+    gt_avatar = textured_gt_avatar(model, seed=0)
+    gt_params = animated_flame_params(Tf, model.n_vertices, jaw_amp=0.1)
+    gt_params["translation"][:, 0] += 0.01
+
+    c2w = orbit_c2w_nerf(1)[0]
+    cam = camera_from_nerf(c2w, S * 1.8, S * 1.8, S / 2, S / 2, S, S)
+    verts = flame_forward(model, {k: jnp.asarray(v) for k, v in gt_params.items()})
+    frames = np.zeros((Tf, S, S, 3), np.uint8)
+    for i in range(Tf):
+        img, _ = render_avatar_frame(gt_avatar, verts[i], model.faces, cam,
+                                     S, S, backend="never", max_per_tile=128)
+        frames[i] = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
+
+    lmk3d = flame_landmarks(model, verts)
+    lmk2d = np.stack([np.asarray(project_points(cam, lmk3d[i])[0])
+                      for i in range(Tf)])
+
+    cfg = TrackConfig(
+        n_shape=10, n_expr=10,
+        steps_lmk_init_rigid=60, steps_lmk_init_all=60,
+        steps_rgb_init_texture=40, steps_rgb_init_all=40,
+        steps_rgb_sequential=5, epochs_global=1,
+        photometric=True, use_static_offset=False, lr=0.01,
+    )
+    tracker = FlameTracker(model, cfg, cam, (S, S), max_per_tile=128,
+                           use_pallas="never")
+
+    # photometric loss before (landmark-only init) vs after rgb stages
+    p_init = tracker.init_params(Tf)
+    data_frames = jnp.asarray(frames)
+    idx = jnp.arange(Tf, dtype=jnp.int32)
+    loss_before = float(tracker._photometric_loss(p_init, data_frames, idx))
+
+    result = tracker.fit(lmk2d, np.ones(Tf, bool), frames=frames)
+
+    p_after = tracker.init_params(Tf)
+    for k in p_after:
+        if k == "texture":
+            continue
+        if k == "shape":
+            p_after[k] = jnp.asarray(result.params["shape"][: cfg.n_shape])
+        elif k == "expr":
+            p_after[k] = jnp.asarray(result.params["expr"][:, : cfg.n_expr])
+        elif k in result.params:
+            p_after[k] = jnp.asarray(result.params[k])
+    p_after["texture"] = jnp.log(
+        jnp.clip(jnp.asarray(result.texture), 1e-3, 1 - 1e-3)
+        / (1 - jnp.clip(jnp.asarray(result.texture), 1e-3, 1 - 1e-3)))
+    loss_after = float(tracker._photometric_loss(p_after, data_frames, idx))
+
+    assert loss_after < loss_before * 0.7, (loss_before, loss_after)
+    # texture learned: not all gray
+    assert result.texture.std() > 0.05
