@@ -58,6 +58,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache: repeat bench runs skip minute-scale
+    # XLA/Mosaic compiles (the tunneled chip compiles slowly)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from omfs4d.core.config import TrainConfig
     from omfs4d.io.synthetic import textured_gt_avatar
