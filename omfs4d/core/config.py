@@ -58,7 +58,7 @@ class RenderConfig:
 
     tile: int = 16                 # pixel tile edge (screen-space binning)
     max_per_tile: int = 512        # capped per-tile gaussian list (fixed shape)
-    max_tiles_per_gaussian: int = 36
+    max_tiles_per_gaussian: int = 16
     white_background: bool = True
     use_pallas: str = "auto"       # auto | always | never
 

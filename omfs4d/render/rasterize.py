@@ -57,13 +57,16 @@ def bin_gaussians(
     height: int,
     tile: int = 16,
     max_per_tile: int = 512,
-    max_tiles_per_gaussian: int = 36,
+    max_tiles_per_gaussian: int = 16,
 ) -> TileBinning:
     """Build depth-sorted per-tile gaussian lists.
 
     A gaussian covers the tiles intersecting its 3-sigma screen box; each
     gaussian may claim at most `max_tiles_per_gaussian` tiles (enumerated as
     a static (kh, kw) window — large gaussians get their nearest tiles).
+    The default 4x4 window (64px at tile=16) covers post-densification
+    avatar gaussians; raise it for scenes with large background gaussians
+    (pair count — and the sort — scales linearly with it).
     """
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
@@ -260,7 +263,7 @@ def rasterize(
     background: jnp.ndarray | None = None,
     tile: int = 16,
     max_per_tile: int = 512,
-    max_tiles_per_gaussian: int = 36,
+    max_tiles_per_gaussian: int = 16,
     backend: str = "auto",
 ):
     """Full differentiable rasterization of one frame.

@@ -124,7 +124,7 @@ class AvatarTrainer:
         white_background: bool = True,
         tile: int = 16,
         max_per_tile: int = 512,
-        max_tiles_per_gaussian: int = 36,
+        max_tiles_per_gaussian: int = 16,
         use_pallas: str = "auto",
     ):
         self.faces = jnp.asarray(faces, jnp.int32)
