@@ -70,7 +70,7 @@ def main():
     from omfs4d.ops.camera import look_at_camera
     from omfs4d.track.fitter import FlameTracker
     from omfs4d.core.config import TrackConfig
-    from omfs4d.train.trainer import AvatarTrainer
+    from omfs4d.train.trainer import AvatarTrainer, float_fields
 
     quick = args.quick
     size = args.size or (128 if quick else 512)
@@ -107,6 +107,7 @@ def main():
         log_scale=jnp.asarray(np.asarray(g0.log_scale)[idx] - np.log(reps ** 0.5)),
         opacity_logit=jnp.asarray(np.asarray(g0.opacity_logit)[idx] - 1.5),
         color=jnp.asarray(np.asarray(g0.color)[idx]),
+        sh1=jnp.asarray(np.asarray(g0.sh1)[idx]),
         alive=jnp.ones(target_alive, bool),
     )
     n_pad = capacity - target_alive
@@ -122,10 +123,7 @@ def main():
                             max_per_tile=max_per_tile, use_pallas=use_pallas)
     state = trainer.init_state(capacity=capacity)
     state = state._replace(gaussians=g,
-                           opt_state=trainer.optimizer.init(
-                               {k: getattr(g, k) for k in
-                                ("mu_local", "quat_local", "log_scale",
-                                 "opacity_logit", "color")}))
+                           opt_state=trainer.optimizer.init(float_fields(g)))
 
     T = 4
     params = {"shape": jnp.zeros(300), "expr": jnp.zeros((T, 100)),

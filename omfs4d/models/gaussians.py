@@ -29,7 +29,8 @@ class GaussianAvatar(NamedTuple):
     quat_local: jnp.ndarray    # (N, 4) rotation in the triangle frame (wxyz)
     log_scale: jnp.ndarray     # (N, 3) log scale relative to triangle size
     opacity_logit: jnp.ndarray # (N,)
-    color: jnp.ndarray         # (N, 3) rgb in [0, 1] via sigmoid at render
+    color: jnp.ndarray         # (N, 3) DC rgb in [0, 1] via sigmoid at render
+    sh1: jnp.ndarray           # (N, 3, 3) degree-1 SH coeffs (3 basis x rgb)
     alive: jnp.ndarray         # (N,) bool — capacity mask
 
     @property
@@ -135,6 +136,24 @@ def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
     return means, rot, scales, opac, colors
 
 
+SH1_C = 0.4886025119  # sqrt(3 / (4*pi)) — degree-1 real SH constant
+
+
+def eval_colors(g: GaussianAvatar, means: jnp.ndarray, cam_pos: jnp.ndarray):
+    """View-dependent color: sigmoid DC + degree-1 SH along the view dir.
+
+    Matches the CUDA 3DGS convention of per-gaussian SH evaluated at the
+    gaussian center; degree-1 basis is (-y, z, -x) * SH1_C.  Zero `sh1`
+    reduces exactly to the DC-only color.
+    """
+    dc = jax.nn.sigmoid(g.color)                       # (N, 3)
+    d = means - cam_pos[None, :]
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+    basis = jnp.stack([-d[:, 1], d[:, 2], -d[:, 0]], axis=1) * SH1_C  # (N, 3)
+    view = jnp.einsum("nb,nbc->nc", basis, g.sh1)      # (N, 3)
+    return jnp.clip(dc + view, 0.0, 1.0)
+
+
 def inverse_sigmoid(x: float) -> float:
     return float(np.log(x / (1.0 - x)))
 
@@ -173,6 +192,7 @@ def init_gaussians_on_mesh(
         log_scale=jnp.asarray(log_scale),
         opacity_logit=jnp.asarray(opac),
         color=jnp.asarray(color),
+        sh1=jnp.zeros((capacity, 3, 3), jnp.float32),
         alive=jnp.asarray(alive),
     )
 

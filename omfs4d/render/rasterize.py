@@ -309,8 +309,10 @@ def render_avatar_frame(
     **kw,
 ):
     """Bind mesh-rigged gaussians to a posed FLAME mesh and rasterize."""
-    from omfs4d.models.gaussians import bind_to_mesh
+    from omfs4d.models.gaussians import bind_to_mesh, eval_colors
 
-    means, rot, scales, opac, cols = bind_to_mesh(gaussians, flame_verts, faces)
+    means, rot, scales, opac, _ = bind_to_mesh(gaussians, flame_verts, faces)
+    cam_pos = -camera.w2c[:3, :3].T @ camera.w2c[:3, 3]
+    cols = eval_colors(gaussians, means, cam_pos)
     return rasterize(means, rot, scales, opac, cols, camera, width, height,
                      background=background, **kw)

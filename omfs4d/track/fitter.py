@@ -69,6 +69,7 @@ def _texture_avatar(model: FlameModel, texture_logits: jnp.ndarray,
         .at[:, 2].set(jnp.log(scale * 0.2)),   # flat along the face normal
         opacity_logit=jnp.full((F,), inverse_sigmoid(opacity), jnp.float32),
         color=texture_logits,
+        sh1=jnp.zeros((F, 3, 3), jnp.float32),
         alive=jnp.ones((F,), bool),
     )
 

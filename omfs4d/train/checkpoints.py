@@ -75,6 +75,9 @@ def export_point_cloud(path: str | Path, gaussians: GaussianAvatar):
         "color_g": g.color[alive, 1],
         "color_b": g.color[alive, 2],
     }
+    sh = g.sh1[alive].reshape(-1, 9)
+    for i in range(9):
+        props[f"sh1_{i}"] = sh[:, i]
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     save_ply(path, props)
 
@@ -95,6 +98,12 @@ def load_point_cloud(path: str | Path, capacity: int | None = None) -> GaussianA
     quat = np.stack([v["quat_w"], v["quat_x"], v["quat_y"], v["quat_z"]], 1).astype(np.float32)
     ls = np.stack([v["log_scale_x"], v["log_scale_y"], v["log_scale_z"]], 1).astype(np.float32)
     col = np.stack([v["color_r"], v["color_g"], v["color_b"]], 1).astype(np.float32)
+    names = v.dtype.names
+    if "sh1_0" in names:
+        sh = np.stack([v[f"sh1_{i}"] for i in range(9)], 1).astype(np.float32)
+        sh = sh.reshape(-1, 3, 3)
+    else:
+        sh = np.zeros((n, 3, 3), np.float32)
     alive = np.zeros(cap, bool)
     alive[:n] = True
     quat_pad = pad(quat)
@@ -106,5 +115,6 @@ def load_point_cloud(path: str | Path, capacity: int | None = None) -> GaussianA
         log_scale=jnp.asarray(pad(ls)),
         opacity_logit=jnp.asarray(pad(v["opacity_logit"].astype(np.float32))),
         color=jnp.asarray(pad(col)),
+        sh1=jnp.asarray(pad(sh)),
         alive=jnp.asarray(alive),
     )

@@ -31,6 +31,7 @@ from omfs4d.core.logging import EventLogger, get_logger
 from omfs4d.models.gaussians import (
     GaussianAvatar,
     bind_to_mesh,
+    eval_colors,
     init_gaussians_on_mesh,
     inverse_sigmoid,
 )
@@ -49,7 +50,8 @@ class TrainState(NamedTuple):
     grad_count: jnp.ndarray    # (N,) observations
 
 
-FLOAT_FIELDS = ("mu_local", "quat_local", "log_scale", "opacity_logit", "color")
+FLOAT_FIELDS = ("mu_local", "quat_local", "log_scale", "opacity_logit",
+                "color", "sh1")
 
 
 def float_fields(g: GaussianAvatar) -> dict:
@@ -68,6 +70,7 @@ def _param_labels() -> dict:
         "log_scale": "scale",
         "opacity_logit": "opac",
         "color": "color",
+        "sh1": "sh",
     }
 
 
@@ -79,6 +82,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             "scale": optax.adam(cfg.lr_scale),
             "opac": optax.adam(cfg.lr_opacity),
             "color": optax.adam(cfg.lr_color),
+            "sh": optax.adam(cfg.lr_color / 20.0),   # 3DGS: SH rest at DC/20
             "frozen": optax.set_to_zero(),
         },
         _param_labels(),
@@ -89,7 +93,9 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
                        width, height, bg, render_cfg):
     """Rasterize one frame; `probe` (N, 2) is added to the screen-space
     means so its cotangent is the densification pressure signal."""
-    means, rot, scales, opac, cols = bind_to_mesh(gaussians, verts, faces)
+    means, rot, scales, opac, _ = bind_to_mesh(gaussians, verts, faces)
+    cam_pos = -cam.w2c[:3, :3].T @ cam.w2c[:3, 3]
+    cols = eval_colors(gaussians, means, cam_pos)
     proj = project_gaussians(cam, means, rot, scales)
     proj = dict(proj)
     proj["uv"] = proj["uv"] + probe
@@ -267,6 +273,7 @@ class AvatarTrainer:
             log_scale=put(g.log_scale, child_ls),
             opacity_logit=put(g.opacity_logit, g.opacity_logit[src]),
             color=put(g.color, g.color[src]),
+            sh1=put(g.sh1, g.sh1[src]),
             alive=g.alive.at[slots].set(ok | g.alive[slots]),
         )
         # shrink split parents

@@ -178,3 +178,38 @@ class TestOrbaxCheckpoint:
             restored, {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()},
             jnp.zeros(1, jnp.int32))
         assert np.isfinite(float(m["loss"]))
+
+
+def test_sh_view_dependence(scene):
+    """Degree-1 SH makes color vary with view direction; zero SH is exact
+    DC-only behavior."""
+    from omfs4d.models.gaussians import bind_to_mesh, eval_colors
+    model, cam, verts, img = scene
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    g = init_gaussians_on_mesh(np.asarray(model.faces), 256)
+    means, *_ = bind_to_mesh(g, jnp.asarray(verts), model.faces)
+
+    # zero SH == sigmoid(DC)
+    c0 = eval_colors(g, means, jnp.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(c0),
+                               np.asarray(jax.nn.sigmoid(g.color)), atol=1e-6)
+
+    # nonzero SH varies with view
+    g2 = g._replace(sh1=g.sh1.at[:, 2, 0].set(0.5))   # -x basis on red
+    ca = eval_colors(g2, means, jnp.array([1.0, 0.0, 0.0]))
+    cb = eval_colors(g2, means, jnp.array([-1.0, 0.0, 0.0]))
+    assert np.abs(np.asarray(ca) - np.asarray(cb)).max() > 0.05
+
+
+def test_sh_gradients_flow(scene):
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=3, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=512)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, use_pallas="never")
+    state = trainer.init_state(capacity=512)
+    data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
+    s0 = np.asarray(state.gaussians.sh1).copy()   # step donates the state
+    for _ in range(3):
+        state, m = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
+    assert np.abs(np.asarray(state.gaussians.sh1) - s0).max() > 0
