@@ -83,6 +83,9 @@ class TrainConfig:
     prune_opacity: float = 5e-3
     max_gaussians: int = 200_000
     batch_frames: int = 1           # frames per step (data-parallel axis)
+    optimize_flame: bool = False    # co-optimize tracked FLAME params
+    lr_flame_pose: float = 1e-5
+    lr_flame_expr: float = 1e-4
     seed: int = 0
     sh_degree: int = 0              # per-gaussian RGB (degree 0) for avatars
 

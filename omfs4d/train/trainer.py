@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from omfs4d.core.config import TrainConfig
+from omfs4d.models.flame import flame_forward
 from omfs4d.core.logging import EventLogger, get_logger
 from omfs4d.models.gaussians import (
     GaussianAvatar,
@@ -48,6 +49,8 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     grad_accum: jnp.ndarray    # (N,) summed screen-space grad norms
     grad_count: jnp.ndarray    # (N,) observations
+    flame_params: object = None      # optional co-optimized FLAME params
+    flame_opt_state: object = None
 
 
 FLOAT_FIELDS = ("mu_local", "quat_local", "log_scale", "opacity_logit",
@@ -132,7 +135,23 @@ class AvatarTrainer:
         max_per_tile: int = 512,
         max_tiles_per_gaussian: int = 16,
         use_pallas: str = "auto",
+        flame_model=None,
     ):
+        """`flame_model` enables FLAME-parameter co-optimization
+        (cfg.optimize_flame): the tracked pose/expression is refined jointly
+        with the gaussians, as the GaussianAvatars trainer does."""
+        self.flame_model = flame_model
+        self.co_optimize = bool(getattr(cfg, "optimize_flame", False)) and flame_model is not None
+        self.flame_opt = optax.multi_transform(
+            {
+                "pose": optax.adam(cfg.lr_flame_pose),
+                "expr": optax.adam(cfg.lr_flame_expr),
+                "frozen": optax.set_to_zero(),
+            },
+            lambda tree: {k: ("expr" if k == "expr" else
+                              "frozen" if k in ("shape", "static_offset") else
+                              "pose") for k in tree},
+        ) if self.co_optimize else None
         self.faces = jnp.asarray(faces, jnp.int32)
         self.cfg = cfg
         self.width = width
@@ -154,7 +173,8 @@ class AvatarTrainer:
         self._eval_fn = jax.jit(self._eval_frame)
 
     # ── state ────────────────────────────────────────────────
-    def init_state(self, capacity: int | None = None, seed: int | None = None) -> TrainState:
+    def init_state(self, capacity: int | None = None, seed: int | None = None,
+                   flame_params: dict | None = None) -> TrainState:
         capacity = capacity or self.cfg.max_gaussians
         g = init_gaussians_on_mesh(
             np.asarray(self.faces), capacity, seed=seed if seed is not None else self.cfg.seed
@@ -165,6 +185,10 @@ class AvatarTrainer:
             step=jnp.zeros((), jnp.int32),
             grad_accum=jnp.zeros(capacity, jnp.float32),
             grad_count=jnp.zeros(capacity, jnp.float32),
+            flame_params=flame_params,
+            flame_opt_state=(self.flame_opt.init(flame_params)
+                             if self.co_optimize and flame_params is not None
+                             else None),
         )
 
     # ── one jitted training step ─────────────────────────────
@@ -175,7 +199,6 @@ class AvatarTrainer:
         bg = self.bg
         render_cfg = self.render_cfg
 
-        verts = data["verts"][idx]                         # (B, V, 3)
         imgs = data["images"][idx].astype(jnp.float32) / 255.0
         w2c = data["w2c"][idx]
         fx, fy = data["fx"][idx], data["fy"][idx]
@@ -186,8 +209,19 @@ class AvatarTrainer:
 
         probe = jnp.zeros((state.gaussians.capacity, 2), jnp.float32)
 
-        def loss_fn(fp, pr):
+        def frame_verts(flame_p):
+            """(B, V, 3) posed FLAME vertices for the sampled frames."""
+            if not self.co_optimize:
+                return data["verts"][idx]
+            sliced = {
+                k: (v if k in ("shape", "static_offset") else v[idx])
+                for k, v in flame_p.items()
+            }
+            return flame_forward(self.flame_model, sliced)
+
+        def loss_fn(fp, flame_p, pr):
             g = with_floats(state.gaussians, fp)
+            verts = frame_verts(flame_p)
             def one(v, w2c_i, fx_i, fy_i, cx_i, cy_i, gt):
                 cam = Camera(w2c=w2c_i, fx=fx_i, fy=fy_i, cx=cx_i, cy=cy_i,
                              width=W, height=H)
@@ -210,9 +244,11 @@ class AvatarTrainer:
             return jnp.mean(losses), (rendered, overflow)
 
         fp0 = float_fields(state.gaussians)
-        (loss, (rendered, overflow)), (grads, probe_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(fp0, probe)
+        flame0 = state.flame_params if self.co_optimize else {}
+        (loss, (rendered, overflow)), (grads, flame_grads, probe_grad) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                fp0, flame0, probe)
+        )
 
         updates, opt_state = self.optimizer.update(grads, state.opt_state, fp0)
         fp = optax.apply_updates(fp0, updates)
@@ -221,6 +257,12 @@ class AvatarTrainer:
         )
         g = with_floats(state.gaussians, fp)
 
+        flame_p, flame_opt_state = state.flame_params, state.flame_opt_state
+        if self.co_optimize:
+            f_updates, flame_opt_state = self.flame_opt.update(
+                flame_grads, state.flame_opt_state, flame0)
+            flame_p = optax.apply_updates(flame0, f_updates)
+
         gnorm = jnp.linalg.norm(probe_grad, axis=-1)
         new_state = TrainState(
             gaussians=g,
@@ -228,6 +270,8 @@ class AvatarTrainer:
             step=state.step + 1,
             grad_accum=state.grad_accum + gnorm,
             grad_count=state.grad_count + (gnorm > 0).astype(jnp.float32),
+            flame_params=flame_p,
+            flame_opt_state=flame_opt_state,
         )
         metrics = {
             "loss": loss,
@@ -292,6 +336,8 @@ class AvatarTrainer:
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
             grad_count=jnp.zeros(N, jnp.float32),
+            flame_params=state.flame_params,
+            flame_opt_state=state.flame_opt_state,
         )
 
     def _eval_frame(self, gaussians, verts, w2c, fx, fy, cx, cy):

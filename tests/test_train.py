@@ -213,3 +213,39 @@ def test_sh_gradients_flow(scene):
     for _ in range(3):
         state, m = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
     assert np.abs(np.asarray(state.gaussians.sh1) - s0).max() > 0
+
+
+def test_flame_co_optimization(scene):
+    """cfg.optimize_flame refines tracked params jointly with gaussians —
+    a deliberately wrong jaw pose must move toward the GT value."""
+    model, cam, verts, img = scene
+
+    cfg = TrainConfig(iterations=40, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=2048,
+                      optimize_flame=True, lr_flame_pose=2e-3,
+                      lr_flame_expr=1e-3)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=128, use_pallas="never",
+                            flame_model=model)
+
+    T = 1
+    flame_params = {
+        "shape": jnp.zeros(300),
+        "expr": jnp.zeros((T, 100)),
+        "rotation": jnp.zeros((T, 3)),
+        "neck_pose": jnp.zeros((T, 3)),
+        "jaw_pose": jnp.zeros((T, 3)).at[0, 0].set(0.3),  # WRONG (gt = 0)
+        "eyes_pose": jnp.zeros((T, 6)),
+        "translation": jnp.zeros((T, 3)),
+    }
+    state = trainer.init_state(capacity=2048, flame_params=flame_params)
+    data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
+    del data["verts"]  # co-optimization derives verts from flame_params
+    data["verts"] = jnp.zeros((1, 1, 3))  # unused placeholder
+
+    jaw0 = 0.3
+    for _ in range(cfg.iterations):
+        state, m = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
+    jaw1 = float(state.flame_params["jaw_pose"][0, 0])
+    assert abs(jaw1) < jaw0 - 1e-3, (jaw0, jaw1)   # moved toward GT zero
+    assert np.isfinite(float(m["loss"]))
