@@ -160,9 +160,13 @@ class Pipeline:
             tile=cfg.render.tile,
             max_per_tile=cfg.render.max_per_tile,
             use_pallas=cfg.render.use_pallas,
+            flame_model=self.model if cfg.train.optimize_flame else None,
         )
+        state = None
+        if cfg.train.optimize_flame:
+            state = trainer.init_state(flame_params=params)
         with stage_timer("train", self.events):
-            trainer.train(data, iterations=iterations,
+            trainer.train(data, iterations=iterations, state=state,
                           output_dir=output_dir, events=self.events)
 
         write_experiment_manifest(output_dir, data_dir, cfg.to_dict(),
