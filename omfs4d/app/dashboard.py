@@ -29,8 +29,6 @@ except ImportError as e:  # pragma: no cover - UI only runs with streamlit
         "`python -m omfs4d.pipeline.cli`."
     ) from e
 
-import numpy as np
-
 from omfs4d.app.session import PlanningSession
 from omfs4d.core.config import Config
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pathlib import Path
 
-import numpy as np
-
 from omfs4d.clinical.surgical import SurgicalCutter
 from omfs4d.clinical.measure import angle_deg, distance_mm, snap_to_mesh
 from omfs4d.io.meshio import save_mesh

@@ -7,7 +7,6 @@ binary_little_endian, arbitrary vertex properties, and triangle faces.
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np

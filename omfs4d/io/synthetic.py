@@ -12,19 +12,14 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from omfs4d.io.dataset import default_flame_params, write_dataset
 from omfs4d.models.assets import synthetic_flame_asset
 from omfs4d.models.flame import FlameModel, flame_forward
-from omfs4d.models.gaussians import (
-    GaussianAvatar,
-    init_gaussians_on_mesh,
-    inverse_sigmoid,
-)
-from omfs4d.ops.camera import Camera, camera_from_nerf
+from omfs4d.models.gaussians import GaussianAvatar, init_gaussians_on_mesh
+from omfs4d.ops.camera import camera_from_nerf
 from omfs4d.render.rasterize import render_avatar_frame
 
 

@@ -19,7 +19,6 @@ Joint order (FLAME convention): 0 global, 1 neck, 2 jaw, 3 eye_l, 4 eye_r.
 
 from __future__ import annotations
 
-import io
 import pickle
 from pathlib import Path
 

@@ -18,8 +18,6 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
-
 from omfs4d.core.config import Config, config_from_args
 from omfs4d.core.logging import get_logger
 

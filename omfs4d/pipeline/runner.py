@@ -9,7 +9,6 @@ packaging, SURVEY.md L0).  Stages pass arrays, cache by content hash
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 import jax.numpy as jnp

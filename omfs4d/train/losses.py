@@ -3,7 +3,6 @@ GaussianAvatars trainer uses), plus PSNR."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -17,7 +17,6 @@ Replaces the GaussianAvatars training subprocess the reference drives
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import NamedTuple
 
