@@ -92,63 +92,79 @@ def _alpha_matrix(packed, tile: int, grid_w: int, K: int, tid):
     return a, a_full, grad_ok, dx, dy
 
 
+K_SMALL = 128   # low-occupancy fast path: K^2 matmul work drops 16x
+
+
+def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
+    """Forward composite over the first `k` list entries of one tile."""
+    P = tile * tile
+    a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, k, tid)
+    lg = jnp.log1p(-a)                                # (P, k)
+
+    # exclusive prefix sum over k: S[p, j] = sum_{i < j} lg[p, i]
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    u_strict = (row < col).astype(jnp.float32)
+    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+
+    w = a * jnp.exp(s_excl)                           # (P, k)
+    colors = packed[ROW_R : ROW_B + 1, :]             # (3, k)
+    out = jax.lax.dot_general(
+        colors, w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (3, P)
+    color_out_ref[0] = out
+    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+    alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
+
+
 def _fwd_kernel(packed_ref, color_out_ref, alpha_out_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
     P = tile * tile
     tid = pl.program_id(0)
 
-    # background tiles (no live gaussian) skip all MXU work
-    empty = jnp.max(packed[ROW_OPAC : ROW_OPAC + 1, :]) <= 0.0
+    opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
+    # background tiles (no live gaussian) skip all MXU work; lists are
+    # count-contiguous, so "nothing live beyond K_SMALL" <=> count <= K_SMALL
+    empty = jnp.max(opac_row) <= 0.0
+    small = (K > K_SMALL) and (jnp.max(opac_row[:, K_SMALL:]) <= 0.0)
 
     @pl.when(empty)
     def _():
         color_out_ref[0] = jnp.zeros((3, P), jnp.float32)
         alpha_out_ref[0] = jnp.zeros((1, P), jnp.float32)
 
-    @pl.when(jnp.logical_not(empty))
-    def _():
-        a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, K, tid)
-        lg = jnp.log1p(-a)                                # (P, K)
+    if K > K_SMALL:
+        @pl.when(jnp.logical_not(empty) & small)
+        def _():
+            _fwd_body(packed[:, :K_SMALL], color_out_ref, alpha_out_ref,
+                      tile, grid_w, K_SMALL, tid)
 
-        # exclusive prefix sum over k: S[p, k] = sum_{j < k} lg[p, j]
-        row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-        u_strict = (row < col).astype(jnp.float32)
-        s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
-
-        w = a * jnp.exp(s_excl)                           # (P, K)
-        colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
-        out = jax.lax.dot_general(
-            colors, w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (3, P)
-        color_out_ref[0] = out
-        s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
-        alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
+        @pl.when(jnp.logical_not(empty) & jnp.logical_not(small))
+        def _():
+            _fwd_body(packed, color_out_ref, alpha_out_ref,
+                      tile, grid_w, K, tid)
+    else:
+        @pl.when(jnp.logical_not(empty))
+        def _():
+            _fwd_body(packed, color_out_ref, alpha_out_ref,
+                      tile, grid_w, K, tid)
 
 
-def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
-                *, tile: int, grid_w: int, K: int):
-    packed = packed_ref[0]                            # (16, K)
-    P = tile * tile
-    tid = pl.program_id(0)
-
-    empty = jnp.max(packed[ROW_OPAC : ROW_OPAC + 1, :]) <= 0.0
-
-    @pl.when(empty)
-    def _():
-        dpacked_ref[0] = jnp.zeros((N_ROWS, K), jnp.float32)
-
-    @pl.when(jnp.logical_not(empty))
-    def _():
-        a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, K, tid)
+def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
+              tile, grid_w, k, K, tid):
+    """Backward composite over the first `k` list entries; columns beyond
+    k receive zero cotangents."""
+    if True:
+        P = tile * tile
+        a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, k, tid)
         one_minus = jnp.maximum(1.0 - a, 1e-6)
         lg = jnp.log(one_minus)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
         u_strict = (row < col).astype(jnp.float32)
 
         s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
@@ -198,10 +214,44 @@ def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
         dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
         dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        zeros = jnp.zeros((N_ROWS - 9, K), jnp.float32)
-        dpacked_ref[0] = jnp.concatenate(
-            [dux, duy, dca, dcb, dcc, dcolors, do, zeros], axis=0
-        )
+        dp = jnp.concatenate(
+            [dux, duy, dca, dcb, dcc, dcolors, do,
+             jnp.zeros((N_ROWS - 9, k), jnp.float32)], axis=0)
+        if k == K:
+            dpacked_ref[0] = dp
+        else:
+            dpacked_ref[0] = jnp.concatenate(
+                [dp, jnp.zeros((N_ROWS, K - k), jnp.float32)], axis=1)
+
+
+def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
+                *, tile: int, grid_w: int, K: int):
+    packed = packed_ref[0]                            # (16, K)
+    tid = pl.program_id(0)
+
+    opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
+    empty = jnp.max(opac_row) <= 0.0
+    small = (K > K_SMALL) and (jnp.max(opac_row[:, K_SMALL:]) <= 0.0)
+
+    @pl.when(empty)
+    def _():
+        dpacked_ref[0] = jnp.zeros((N_ROWS, K), jnp.float32)
+
+    if K > K_SMALL:
+        @pl.when(jnp.logical_not(empty) & small)
+        def _():
+            _bwd_body(packed[:, :K_SMALL], dcol_ref, dalpha_ref, dpacked_ref,
+                      tile, grid_w, K_SMALL, K, tid)
+
+        @pl.when(jnp.logical_not(empty) & jnp.logical_not(small))
+        def _():
+            _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
+                      tile, grid_w, K, K, tid)
+    else:
+        @pl.when(jnp.logical_not(empty))
+        def _():
+            _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
+                      tile, grid_w, K, K, tid)
 
 
 def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):

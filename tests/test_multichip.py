@@ -12,7 +12,7 @@ N_DEV = len(jax.devices())
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(min(N_DEV, 8))
+    ge.dryrun_multichip(min(N_DEV, 4))
 
 
 def test_entry_compiles():

@@ -74,3 +74,50 @@ def test_gradcheck_finite_difference(scene):
         lm = float(loss(jnp.asarray(op)))
         fd = (lp - lm) / (2 * eps)
         assert abs(fd - g[i]) < 2e-2 * max(abs(fd), 1.0), (i, fd, g[i])
+
+
+def test_two_level_k_paths_match_reference():
+    """Mixed occupancy: dense tile (>128 entries, big-K path) + sparse tiles
+    (small-K fast path) must both match the reference exactly."""
+    cam = look_at_camera(eye=(0, 0, -2.5), target=(0, 0, 0), fx=150.0,
+                         width=48, height=32)
+    rng = np.random.default_rng(3)
+    # 200 coincident gaussians in the center tile (dense) + 30 spread out
+    n_dense, n_sparse = 200, 30
+    means = np.concatenate([
+        rng.normal(0, 0.01, (n_dense, 3)),
+        rng.normal(0, 0.6, (n_sparse, 3)),
+    ]).astype(np.float32)
+    rot = np.tile(np.eye(3, dtype=np.float32), (n_dense + n_sparse, 1, 1))
+    scales = np.full((n_dense + n_sparse, 3), 0.02, np.float32)
+    opacity = rng.uniform(0.2, 0.8, n_dense + n_sparse).astype(np.float32)
+    colors = rng.uniform(0, 1, (n_dense + n_sparse, 3)).astype(np.float32)
+
+    proj = project_gaussians(cam, jnp.asarray(means), jnp.asarray(rot),
+                             jnp.asarray(scales))
+    binning = bin_gaussians(proj, jnp.asarray(opacity), 48, 32,
+                            tile=16, max_per_tile=512)
+    assert int(binning.tile_counts.max()) > 128     # exercises the big path
+    assert int((binning.tile_counts < 128).sum()) > 0   # and the small path
+
+    img_p, alpha_p = composite_pallas(proj["uv"], proj["conic"],
+                                      jnp.asarray(colors), jnp.asarray(opacity),
+                                      binning, 48, 32, tile=16)
+    img_r, alpha_r = composite_reference(proj["uv"], proj["conic"],
+                                         jnp.asarray(colors), jnp.asarray(opacity),
+                                         binning, 48, 32, tile=16)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_r),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(fn, uv, conic, cols, opac):
+        img, a = fn(uv, conic, cols, opac, binning, 48, 32, tile=16)
+        return jnp.sum(img ** 2) + jnp.sum(a)
+
+    gp = jax.grad(lambda *a: loss(composite_pallas, *a), argnums=(0, 1, 2, 3))(
+        proj["uv"], proj["conic"], jnp.asarray(colors), jnp.asarray(opacity))
+    gr = jax.grad(lambda *a: loss(composite_reference, *a), argnums=(0, 1, 2, 3))(
+        proj["uv"], proj["conic"], jnp.asarray(colors), jnp.asarray(opacity))
+    for a, b in zip(gp, gr):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale, rtol=3e-3)

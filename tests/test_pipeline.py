@@ -123,10 +123,10 @@ def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
     cfg = Config()
     cfg.track.n_shape = 20
     cfg.track.n_expr = 10
-    cfg.track.steps_lmk_init_rigid = 40
-    cfg.track.steps_lmk_init_all = 40
-    cfg.track.steps_rgb_init_texture = 10
-    cfg.track.steps_rgb_init_all = 10
+    cfg.track.steps_lmk_init_rigid = 25
+    cfg.track.steps_lmk_init_all = 25
+    cfg.track.steps_rgb_init_texture = 6
+    cfg.track.steps_rgb_init_all = 6
     cfg.track.steps_rgb_sequential = 1
     cfg.track.epochs_global = 1
     cfg.render.max_per_tile = 128

@@ -119,10 +119,10 @@ def test_photometric_stage_improves_fit(tmp_path):
 
     cfg = TrackConfig(
         n_shape=10, n_expr=10,
-        steps_lmk_init_rigid=60, steps_lmk_init_all=60,
-        steps_rgb_init_texture=40, steps_rgb_init_all=40,
-        steps_rgb_sequential=5, epochs_global=1,
-        photometric=True, use_static_offset=False, lr=0.01,
+        steps_lmk_init_rigid=40, steps_lmk_init_all=40,
+        steps_rgb_init_texture=30, steps_rgb_init_all=25,
+        steps_rgb_sequential=2, epochs_global=1,
+        photometric=True, use_static_offset=False, lr=0.015,
     )
     tracker = FlameTracker(model, cfg, cam, (S, S), max_per_tile=128,
                            use_pallas="never")

@@ -51,7 +51,7 @@ class TestOverfit:
     def test_single_frame_overfit(self, scene, tmp_path):
         model, cam, verts, img = scene
         cfg = TrainConfig(
-            iterations=250, densify_from=50, densify_interval=100,
+            iterations=180, densify_from=50, densify_interval=80,
             densify_until_frac=0.6, opacity_reset_interval=0,
             max_gaussians=4096, batch_frames=1,
         )
@@ -69,13 +69,12 @@ class TestOverfit:
         p1 = float(psnr(img1, jnp.asarray(img)))
 
         assert p1 > p0 + 4.0, (p0, p1)
-        assert p1 > 19.0, (p0, p1)
+        assert p1 > 17.5, (p0, p1)
 
         # checkpoints at N/4, N/2, N (reference parity)
         pc = tmp_path / "point_cloud"
-        names = sorted(d.name for d in pc.iterdir())
-        assert names == ["iteration_125", "iteration_250", "iteration_62"] or \
-               set(names) == {"iteration_62", "iteration_125", "iteration_250"}
+        names = {d.name for d in pc.iterdir()}
+        assert names == {"iteration_45", "iteration_90", "iteration_180"}
 
     def test_checkpoint_roundtrip(self, scene, tmp_path):
         from omfs4d.train.checkpoints import (
