@@ -84,6 +84,15 @@ def main(argv: list[str] | None = None):
     p.add_argument("--export-frames-dir", default="")
     p.add_argument("--deterministic-indices", default="")
 
+    p = sub.add_parser("run", help="full pipeline: video -> prediction video")
+    _add_common(p)
+    p.add_argument("--video", required=True)
+    p.add_argument("--lefort-mm", type=float, default=0.0)
+    p.add_argument("--bsso-mm", type=float, default=0.0)
+    p.add_argument("--output", default="final_prediction.mp4")
+    p.add_argument("--landmarks", default="file")
+    p.add_argument("--iterations", type=int, default=0)
+
     p = sub.add_parser("report", help="strict PSNR/SSIM validation report")
     p.add_argument("--model", required=True)
     p.add_argument("--frames", required=True)
@@ -134,6 +143,28 @@ def main(argv: list[str] | None = None):
             deterministic_indices=args.deterministic_indices,
         )
         log.info(f"prediction: {result}")
+    elif args.cmd == "run":
+        # the reference's 6-stage batch driver in one command
+        # (ref: run_full_pipeline_conda.ps1 preprocess->track->convert->
+        #  train->render->report)
+        from omfs4d.ops.camera import look_at_camera
+        import cv2 as _cv2
+        frames_dir = pipe.preprocess(args.video)
+        sample = next((frames_dir / "images").glob("*.png"))
+        h, w = _cv2.imread(str(sample)).shape[:2]
+        cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0),
+                             fx=1.6 * max(w, h), width=w, height=h)
+        data_dir = pipe.track(frames_dir, cam, landmark_method=args.landmarks)
+        model_dir = pipe.train(data_dir, iterations=args.iterations or None)
+        det_dir = Path(args.workdir) / "deterministic_frames"
+        result = pipe.render_surgery(
+            model_dir, data_dir, Path(args.output),
+            args.lefort_mm, args.bsso_mm,
+            export_frames_dir=str(det_dir),
+        )
+        report = pipe.report(model_dir, det_dir)
+        log.info(f"pipeline complete: {result['video']}")
+        log.info(f"strict report buckets: {report['summary']['by_bucket']}")
     elif args.cmd == "report":
         from omfs4d.eval.reporting import generate_report
         out = Path(args.out) if args.out else Path(args.model) / "eval_strict" / "reports"
