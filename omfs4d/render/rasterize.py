@@ -45,9 +45,10 @@ ALPHA_CAP = 0.99
 class TileBinning(NamedTuple):
     """Static-shape per-tile gaussian lists."""
 
-    tile_lists: jnp.ndarray   # (num_tiles, K) int32 gaussian indices (pad 0)
-    tile_counts: jnp.ndarray  # (num_tiles,) int32 — valid entries per tile
-    overflow: jnp.ndarray     # () int32 — pairs dropped by the K cap
+    tile_lists: jnp.ndarray     # (num_tiles, K) int32 gaussian indices (pad 0)
+    tile_counts: jnp.ndarray    # (num_tiles,) int32 — valid entries per tile
+    overflow: jnp.ndarray       # () int32 — pairs dropped by the K cap
+    window_clipped: jnp.ndarray # () int32 — gaussians larger than the window
 
 
 def bin_gaussians(
@@ -102,6 +103,12 @@ def bin_gaussians(
         & (ty <= y1[:, None, None])
         & (tx <= x1[:, None, None])
     )                                                      # (n, kh, kw)
+    # observability: gaussians whose 3σ box exceeds the static window get
+    # only their nearest (kh, kw) tiles — count them so silent quality loss
+    # is visible in training metrics
+    window_clipped = jnp.sum(
+        visible & (((x1 - x0 + 1) > kw) | ((y1 - y0 + 1) > kh))
+    )
     tile_id = ty * grid_w + tx                             # (n, kh, kw)
 
     flat_tile = jnp.where(pair_ok, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
@@ -134,7 +141,7 @@ def bin_gaussians(
         valid, s_idx[jnp.clip(pos, 0, n_pairs - 1)], 0
     )
 
-    return TileBinning(tile_lists, tile_counts, overflow)
+    return TileBinning(tile_lists, tile_counts, overflow, window_clipped)
 
 
 def _tile_pixel_centers(grid_w: int, grid_h: int, tile: int) -> jnp.ndarray:
@@ -295,7 +302,8 @@ def rasterize(
     if background is None:
         background = jnp.ones((3,), jnp.float32)
     img = img + (1.0 - alpha)[..., None] * background
-    return img, {"alpha": alpha, "overflow": binning.overflow}
+    return img, {"alpha": alpha, "overflow": binning.overflow,
+                 "window_clipped": binning.window_clipped}
 
 
 def render_avatar_frame(
