@@ -81,6 +81,7 @@ class TrainConfig:
     densify_grad_threshold: float = 2e-4
     opacity_reset_interval: int = 3000
     prune_opacity: float = 5e-3
+    prune_scale: float = 8.0        # prune gaussians larger than this (in triangle units)
     max_gaussians: int = 200_000
     batch_frames: int = 1           # frames per step (data-parallel axis)
     optimize_flame: bool = False    # co-optimize tracked FLAME params

@@ -325,8 +325,12 @@ class AvatarTrainer:
         )
         g2 = g2._replace(log_scale=parent_shrunk)
 
-        # prune transparent gaussians
-        alive = g2.alive & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
+        # prune transparent and oversized gaussians (3DGS prunes both)
+        alive = (
+            g2.alive
+            & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
+            & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
+        )
         g2 = g2._replace(alive=alive)
 
         return TrainState(
