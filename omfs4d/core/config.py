@@ -45,6 +45,7 @@ class TrackConfig:
     epochs_global: int = 2
     lr: float = 1e-2
     photometric: bool = True
+    photometric_backend: str = "splat"   # splat (gaussian) | mesh (halfplane)
     use_static_offset: bool = True
     temporal_smoothness: float = 1e-3
     reg_shape: float = 1e-3

@@ -1,0 +1,211 @@
+"""Differentiable triangle-mesh rasterizer (soft halfplane coverage).
+
+TPU-native replacement for nvdiffrast, which VHAP uses for photometric
+FLAME tracking (ref: SURVEY.md §2.2; cache plumbing at app.py:198-203).
+Same architecture as the gaussian rasterizer — project -> tile-bin via one
+lax.sort -> fixed-K per-tile lists -> front-to-back composite — with the
+gaussian falloff replaced by a soft triangle-coverage term:
+
+    d_i(p)      = signed pixel distance to edge i (halfplane function)
+    coverage(p) = sigmoid(d_0/σ) · sigmoid(d_1/σ) · sigmoid(d_2/σ)
+    alpha       = face_opacity · coverage
+
+σ→0 approaches hard rasterization; σ of ~1 pixel gives usable silhouette
+gradients (SoftRas-style).  Faces are depth-sorted by centroid and
+composited with the same transmittance cumprod as gaussians, so occlusion
+is respected.  Colors are flat per-face (the photometric texture the
+tracker optimizes); barycentric vertex-color interpolation is a planned
+extension.
+
+Known artifact: along an interior SHARED edge the two adjacent faces each
+reach coverage 0.5, and over-compositing yields 1-(1-.5)(1-.5)=0.75 total
+alpha in a ~2σ-wide seam.  This is inherent to independent soft coverages;
+the SoftRas partition-of-unity aggregation (softmax over depth) removes it
+and is the planned refinement.  Silhouette gradients — what photometric
+tracking needs — are unaffected.
+
+Gradients flow to vertex positions (through the edge functions and the
+projection) and to per-face colors/opacity — everything FLAME tracking
+needs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from omfs4d.ops.camera import Camera
+from omfs4d.render.rasterize import (
+    ALPHA_CAP,
+    ALPHA_CUTOFF,
+    TileBinning,
+    _tile_pixel_centers,
+    assemble_tiles,
+    bin_gaussians,
+)
+
+
+def project_faces(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
+                  near: float = 0.01, sigma: float = 1.0):
+    """Project mesh faces to screen space.
+
+    Returns
+    -------
+    edges : (F, 9) halfplane coefficients — rows of (nx, ny, c) per edge so
+            that d_i(p) = nx·px + ny·py + c is the signed pixel distance
+            (positive inside the face).
+    proj  : binning dict (uv = centroid, radius, depth, in_front) shaped
+            like `project_gaussians` output so `bin_gaussians` is reused.
+    """
+    p = verts @ cam.w2c[:3, :3].T + cam.w2c[:3, 3]          # (V, 3) cam space
+    z = p[:, 2]
+    safe_z = jnp.maximum(z, near)
+    sx = cam.fx * p[:, 0] / safe_z + cam.cx
+    sy = cam.fy * p[:, 1] / safe_z + cam.cy
+    screen = jnp.stack([sx, sy], axis=1)                    # (V, 2)
+
+    tri = screen[faces]                                      # (F, 3, 2)
+    tz = z[faces]                                            # (F, 3)
+    centroid = tri.mean(axis=1)                              # (F, 2)
+    depth = tz.mean(axis=1)
+    in_front = jnp.all(tz > near, axis=1)
+
+    # signed area: positive = CCW on screen; flip edge normals for CW faces
+    e01 = tri[:, 1] - tri[:, 0]
+    e02 = tri[:, 2] - tri[:, 0]
+    area2 = e01[:, 0] * e02[:, 1] - e01[:, 1] * e02[:, 0]    # (F,)
+    orient = jnp.where(area2 >= 0, 1.0, -1.0)
+
+    def edge_coeffs(a, b):
+        # d(p) = ((b - a) x (p - a)) / |b - a|  (CCW-inside positive)
+        d = b - a                                             # (F, 2)
+        length = jnp.maximum(jnp.linalg.norm(d, axis=1), 1e-8)
+        nx = -d[:, 1] / length
+        ny = d[:, 0] / length
+        c = -(nx * a[:, 0] + ny * a[:, 1])
+        return jnp.stack([nx, ny, c], axis=1) * orient[:, None]
+
+    edges = jnp.concatenate([
+        edge_coeffs(tri[:, 0], tri[:, 1]),
+        edge_coeffs(tri[:, 1], tri[:, 2]),
+        edge_coeffs(tri[:, 2], tri[:, 0]),
+    ], axis=1)                                                # (F, 9)
+
+    radius = jnp.max(
+        jnp.linalg.norm(tri - centroid[:, None, :], axis=-1), axis=1
+    ) + 4.0 * sigma
+    # degenerate / behind-camera faces never bin
+    radius = jnp.where(in_front, radius, 0.0)
+
+    proj = {
+        "uv": centroid,
+        "depth": depth,
+        "radius": radius,
+        "in_front": in_front,
+        "conic": jnp.zeros((faces.shape[0], 3), jnp.float32),  # unused
+    }
+    return edges, proj
+
+
+def composite_mesh_tiles(
+    edges, colors, opacity,
+    lists: jnp.ndarray, counts: jnp.ndarray, pix: jnp.ndarray,
+    sigma: float = 1.0,
+    chunk_tiles: int = 64,
+):
+    """Per-tile soft-coverage compositing ((T, P, 3) colors, (T, P) alpha)."""
+    num_tiles, K = lists.shape
+    P = pix.shape[1]
+
+    def tile_fn(args):
+        idx, count, pix_t = args
+        e = edges[idx]                                        # (K, 9)
+        ok = opacity[idx]                                     # (K,)
+        ck = colors[idx]                                      # (K, 3)
+        valid = (jnp.arange(K) < count)[:, None]              # (K, 1)
+
+        px = pix_t[None, :, 0]                                # (1, P)
+        py = pix_t[None, :, 1]
+
+        def dist(i):
+            return (e[:, 3 * i, None] * px + e[:, 3 * i + 1, None] * py
+                    + e[:, 3 * i + 2, None])                  # (K, P)
+
+        cov = (jax.nn.sigmoid(dist(0) / sigma)
+               * jax.nn.sigmoid(dist(1) / sigma)
+               * jax.nn.sigmoid(dist(2) / sigma))             # (K, P)
+        alpha = jnp.minimum(ok[:, None] * cov, ALPHA_CAP)
+        alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
+        alpha = jnp.where(valid, alpha, 0.0)
+
+        trans = jnp.cumprod(1.0 - alpha, axis=0)
+        t_excl = jnp.concatenate([jnp.ones((1, P)), trans[:-1]], axis=0)
+        w = alpha * t_excl
+        color = jnp.einsum("kp,kc->pc", w, ck,
+                           preferred_element_type=jnp.float32)
+        return color, 1.0 - trans[-1]
+
+    pad = (-num_tiles) % chunk_tiles
+    lists_p = jnp.pad(lists, ((0, pad), (0, 0)))
+    counts_p = jnp.pad(counts, (0, pad))
+    pix_p = jnp.pad(pix, ((0, pad), (0, 0), (0, 0)))
+    n_chunks = (num_tiles + pad) // chunk_tiles
+    colors_out, alphas_out = jax.lax.map(
+        jax.vmap(tile_fn),
+        (lists_p.reshape(n_chunks, chunk_tiles, K),
+         counts_p.reshape(n_chunks, chunk_tiles),
+         pix_p.reshape(n_chunks, chunk_tiles, P, 2)),
+    )
+    return (colors_out.reshape(-1, P, 3)[:num_tiles],
+            alphas_out.reshape(-1, P)[:num_tiles])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile", "max_per_tile",
+                     "max_tiles_per_face", "sigma"),
+)
+def rasterize_mesh(
+    verts: jnp.ndarray,          # (V, 3) world-space mesh vertices
+    faces: jnp.ndarray,          # (F, 3) int32
+    face_colors: jnp.ndarray,    # (F, 3) linear rgb
+    camera: Camera,
+    width: int,
+    height: int,
+    face_opacity: jnp.ndarray | float = 1.0,
+    background: jnp.ndarray | None = None,
+    tile: int = 16,
+    max_per_tile: int = 128,
+    max_tiles_per_face: int = 16,
+    sigma: float = 1.0,
+):
+    """Differentiable flat-shaded mesh render.
+
+    Returns (image (H, W, 3), aux {alpha, overflow}).
+    """
+    F = faces.shape[0]
+    face_opacity = jnp.asarray(face_opacity, jnp.float32)
+    if face_opacity.ndim == 0:      # scalar (jit traces floats to 0-d arrays)
+        face_opacity = jnp.broadcast_to(face_opacity, (F,))
+
+    edges, proj = project_faces(camera, verts, faces, sigma=sigma)
+    binning = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        jax.lax.stop_gradient(face_opacity),
+        width, height, tile, max_per_tile, max_tiles_per_face,
+    )
+
+    grid_w = (width + tile - 1) // tile
+    grid_h = (height + tile - 1) // tile
+    pix = _tile_pixel_centers(grid_w, grid_h, tile)
+    colors_out, alphas_out = composite_mesh_tiles(
+        edges, face_colors, face_opacity,
+        binning.tile_lists, binning.tile_counts, pix, sigma,
+    )
+    img, alpha = assemble_tiles(colors_out, alphas_out, width, height, tile)
+    if background is None:
+        background = jnp.ones((3,), jnp.float32)
+    img = img + (1.0 - alpha)[..., None] * background
+    return img, {"alpha": alpha, "overflow": binning.overflow}

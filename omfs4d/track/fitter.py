@@ -16,10 +16,12 @@ Design differences from the CUDA original, on purpose:
     smoothness terms become `diff` ops whose halo exchange XLA inserts
     automatically.  The reference itself batches T frames in its in-repo
     fitter (flame_fitter.py:339-343) — this scales that to the mesh.
-  * The photometric term renders the FLAME mesh with the SAME Pallas
-    gaussian rasterizer used for avatar training (one splat per face whose
-    frame/scale follows the triangle), instead of nvdiffrast: one hot
-    kernel serves both engines.
+  * The photometric term has two interchangeable differentiable backends
+    (cfg.photometric_backend): "splat" renders the FLAME mesh with the SAME
+    Pallas gaussian rasterizer used for avatar training (one splat per face
+    whose frame/scale follows the triangle), and "mesh" uses the soft
+    halfplane triangle rasterizer (omfs4d.render.mesh_raster) — the direct
+    nvdiffrast analogue with exact silhouettes.
   * Per-group Adam learning rates mirror the reference's
     (shape 0.1x, rotation 0.3x, translation 0.5x — flame_fitter.py:356-362).
 """
@@ -134,20 +136,35 @@ class FlameTracker:
     def _photometric_loss(self, p: dict, frames, frame_idx):
         """Render the textured FLAME mesh for a frame subset, compare to RGB."""
         verts = flame_forward(self.model, self._flame_args(p))
-        avatar = _texture_avatar(self.model, p["texture"])
         bg = jnp.ones(3, jnp.float32)
 
-        def one(v, gt):
-            means, rot, scales, opac, cols = bind_to_mesh(
-                avatar, v, self.model.faces
-            )
-            img, _ = rasterize(
-                means, rot, scales, opac, cols, self.camera,
-                self.width, self.height, background=bg,
-                tile=self.tile, max_per_tile=self.max_per_tile,
-                backend=self.backend,
-            )
-            return jnp.mean(jnp.abs(img - gt))
+        if self.cfg.photometric_backend == "mesh":
+            from omfs4d.render.mesh_raster import rasterize_mesh
+
+            face_colors = jax.nn.sigmoid(p["texture"])
+
+            def one(v, gt):
+                img, _ = rasterize_mesh(
+                    v, self.model.faces, face_colors, self.camera,
+                    self.width, self.height, face_opacity=0.98,
+                    background=bg, tile=self.tile,
+                    max_per_tile=self.max_per_tile,
+                )
+                return jnp.mean(jnp.abs(img - gt))
+        else:
+            avatar = _texture_avatar(self.model, p["texture"])
+
+            def one(v, gt):
+                means, rot, scales, opac, cols = bind_to_mesh(
+                    avatar, v, self.model.faces
+                )
+                img, _ = rasterize(
+                    means, rot, scales, opac, cols, self.camera,
+                    self.width, self.height, background=bg,
+                    tile=self.tile, max_per_tile=self.max_per_tile,
+                    backend=self.backend,
+                )
+                return jnp.mean(jnp.abs(img - gt))
 
         sel_verts = verts[frame_idx]
         sel_frames = frames[frame_idx].astype(jnp.float32) / 255.0
