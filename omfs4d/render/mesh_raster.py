@@ -17,12 +17,16 @@ is respected.  Colors are flat per-face (the photometric texture the
 tracker optimizes); barycentric vertex-color interpolation is a planned
 extension.
 
-Known artifact: along an interior SHARED edge the two adjacent faces each
-reach coverage 0.5, and over-compositing yields 1-(1-.5)(1-.5)=0.75 total
-alpha in a ~2σ-wide seam.  This is inherent to independent soft coverages;
-the SoftRas partition-of-unity aggregation (softmax over depth) removes it
-and is the planned refinement.  Silhouette gradients — what photometric
-tracking needs — are unaffected.
+Two aggregation modes:
+  * ``over``    — front-to-back transmittance compositing (matches the
+    gaussian path; semi-transparent faces compose correctly).  Artifact:
+    along an interior SHARED edge the two adjacent faces each reach
+    coverage 0.5 and compose to 1-(1-.5)^2 = 0.75 alpha in a ~2σ seam.
+  * ``softmax`` — SoftRas partition-of-unity aggregation: per pixel,
+    w_f = cov_f·exp(z'_f/γ) / (Σ cov·exp(z'/γ) + exp(ε/γ)) with z' the
+    depth normalized into [0, 1] (near = 1).  Seam-free interiors (the two
+    half-coverages sum to one weight) and soft depth ordering; the default
+    for opaque photometric rendering.
 
 Gradients flow to vertex positions (through the edge functions and the
 projection) and to per-face colors/opacity — everything FLAME tracking
@@ -110,10 +114,15 @@ def project_faces(cam: Camera, verts: jnp.ndarray, faces: jnp.ndarray,
 
 
 def composite_mesh_tiles(
-    edges, colors, opacity,
+    edges, colors, opacity, depths,
     lists: jnp.ndarray, counts: jnp.ndarray, pix: jnp.ndarray,
     sigma: float = 1.0,
     chunk_tiles: int = 64,
+    aggregation: str = "softmax",
+    gamma: float = 0.03,
+    z_near: float = 0.05,
+    z_far: float = 5.0,
+    bg_eps: float = 1e-3,
 ):
     """Per-tile soft-coverage compositing ((T, P, 3) colors, (T, P) alpha)."""
     num_tiles, K = lists.shape
@@ -124,6 +133,7 @@ def composite_mesh_tiles(
         e = edges[idx]                                        # (K, 9)
         ok = opacity[idx]                                     # (K,)
         ck = colors[idx]                                      # (K, 3)
+        zk = depths[idx]                                      # (K,)
         valid = (jnp.arange(K) < count)[:, None]              # (K, 1)
 
         px = pix_t[None, :, 0]                                # (1, P)
@@ -139,6 +149,23 @@ def composite_mesh_tiles(
         alpha = jnp.minimum(ok[:, None] * cov, ALPHA_CAP)
         alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
         alpha = jnp.where(valid, alpha, 0.0)
+
+        if aggregation == "softmax":
+            # SoftRas-style: foreground color is a depth-softmax over faces
+            # (partition of unity — interior shared edges stay seam-free in
+            # color); total alpha is the probabilistic union, which carries
+            # the silhouette gradient
+            zn = jnp.clip((z_far - zk) / (z_far - z_near), 0.0, 1.0)  # (K,)
+            logits = jnp.where(valid[:, 0], zn, -jnp.inf)[:, None] / gamma
+            m = jnp.max(logits, axis=0, keepdims=True)
+            s = alpha * jnp.exp(jnp.where(jnp.isfinite(logits),
+                                          logits - m, -jnp.inf))   # (K, P)
+            denom = jnp.sum(s, axis=0, keepdims=True)
+            w = s / jnp.maximum(denom, 1e-12)                  # (K, P)
+            color_fg = jnp.einsum("kp,kc->pc", w, ck,
+                                  preferred_element_type=jnp.float32)
+            a_union = 1.0 - jnp.prod(1.0 - alpha, axis=0)      # (P,)
+            return color_fg * a_union[:, None], a_union
 
         trans = jnp.cumprod(1.0 - alpha, axis=0)
         t_excl = jnp.concatenate([jnp.ones((1, P)), trans[:-1]], axis=0)
@@ -165,7 +192,7 @@ def composite_mesh_tiles(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "max_per_tile",
-                     "max_tiles_per_face", "sigma"),
+                     "max_tiles_per_face", "sigma", "aggregation", "gamma"),
 )
 def rasterize_mesh(
     verts: jnp.ndarray,          # (V, 3) world-space mesh vertices
@@ -180,6 +207,8 @@ def rasterize_mesh(
     max_per_tile: int = 128,
     max_tiles_per_face: int = 16,
     sigma: float = 1.0,
+    aggregation: str = "softmax",
+    gamma: float = 0.03,
 ):
     """Differentiable flat-shaded mesh render.
 
@@ -201,8 +230,9 @@ def rasterize_mesh(
     grid_h = (height + tile - 1) // tile
     pix = _tile_pixel_centers(grid_w, grid_h, tile)
     colors_out, alphas_out = composite_mesh_tiles(
-        edges, face_colors, face_opacity,
+        edges, face_colors, face_opacity, proj["depth"],
         binning.tile_lists, binning.tile_counts, pix, sigma,
+        aggregation=aggregation, gamma=gamma,
     )
     img, alpha = assemble_tiles(colors_out, alphas_out, width, height, tile)
     if background is None:

@@ -129,3 +129,31 @@ def test_tracker_mesh_photometric_backend(cam):
     assert np.isfinite(float(loss))
     assert float(jnp.abs(grads["translation"]).max()) > 0
     assert float(jnp.abs(grads["texture"]).max()) > 0
+
+
+def test_softmax_aggregation_seam_free(cam):
+    """softmax aggregation: interior shared edges render at full color."""
+    verts, faces, colors = _square(0.0)
+    img, aux = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces),
+                              jnp.asarray(colors), cam, W, H,
+                              face_opacity=0.98,
+                              background=jnp.zeros(3), sigma=0.5,
+                              aggregation="softmax")
+    img = np.asarray(img)
+    # on the shared diagonal: union alpha = 1-(1-.49)(1-.49) ≈ 0.74 but the
+    # foreground COLOR is pure red (partition of unity) — so red channel on
+    # the seam is >= the union alpha, with no green/blue bleed
+    assert img[H // 2, W // 2, 0] > 0.7
+    assert img[H // 2, W // 2, 1] < 1e-3
+    # interior off-seam: essentially solid
+    win = img[H // 2 - 8 : H // 2 + 8, W // 2 - 8 : W // 2 + 8]
+    assert win[..., 0].max() > 0.95
+
+    # silhouette gradient flows in softmax mode too
+    def loss(v):
+        i, _ = rasterize_mesh(v, jnp.asarray(faces), jnp.asarray(colors),
+                              cam, W, H, background=jnp.zeros(3),
+                              sigma=1.0, aggregation="softmax")
+        return jnp.sum(i[:, W // 2 :, 0])
+    g = np.asarray(jax.grad(loss)(jnp.asarray(verts)))
+    assert np.isfinite(g).all() and np.abs(g[:, 0]).max() > 0
