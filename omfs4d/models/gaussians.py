@@ -199,3 +199,64 @@ def init_gaussians_on_mesh(
 
 def n_alive(g: GaussianAvatar) -> jnp.ndarray:
     return g.alive.sum()
+
+
+def init_gaussians_from_points(
+    points: np.ndarray,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    capacity: int,
+    init_opacity: float = 0.1,
+    init_color: float = 0.5,
+) -> GaussianAvatar:
+    """Initialize gaussians from a point cloud (the points3d.ply contract).
+
+    Replicates the CUDA stack's init: per-point scale from the mean distance
+    to the 3 nearest neighbors (the `simple-knn` extension's job, here
+    omfs4d.ops.knn on the MXU), each point bound to its nearest canonical
+    FLAME triangle and expressed in that triangle's local frame.
+    """
+    import jax.numpy as jnp
+    from omfs4d.ops.knn import knn_mean_distance
+
+    points = np.asarray(points, dtype=np.float32)
+    verts_j = jnp.asarray(verts, jnp.float32)
+    faces_j = jnp.asarray(faces, jnp.int32)
+    n = min(len(points), capacity)
+    pts = points[:n]
+
+    R_f, t_f, s_f = triangle_frames(verts_j, faces_j)
+    R_f, t_f, s_f = np.asarray(R_f), np.asarray(t_f), np.asarray(s_f)
+
+    # nearest face centroid per point (blocked to bound memory)
+    parent = np.zeros(n, dtype=np.int32)
+    for start in range(0, n, 8192):
+        chunk = pts[start : start + 8192]
+        d2 = ((chunk[:, None, :] - t_f[None, :, :]) ** 2).sum(-1)
+        parent[start : start + len(chunk)] = d2.argmin(1).astype(np.int32)
+
+    # local frame coordinates: mu = R^T (p - t) / s
+    rel = pts - t_f[parent]
+    mu = np.einsum("nij,ni->nj", R_f[parent], rel) / s_f[parent][:, None]
+
+    # simple-knn scale init, converted to triangle-relative log scale
+    knn_d = np.asarray(knn_mean_distance(jnp.asarray(pts), k=3))
+    local_scale = np.clip(knn_d / np.maximum(s_f[parent], 1e-8), 1e-3, 10.0)
+
+    g = init_gaussians_on_mesh(np.asarray(faces), capacity,
+                               init_opacity=init_opacity,
+                               init_color=init_color)
+    parent_full = np.asarray(g.parent_face).copy()
+    mu_full = np.asarray(g.mu_local).copy()
+    ls_full = np.asarray(g.log_scale).copy()
+    alive_full = np.zeros(capacity, dtype=bool)
+    parent_full[:n] = parent
+    mu_full[:n] = mu
+    ls_full[:n] = np.log(local_scale)[:, None]
+    alive_full[:n] = True
+    return g._replace(
+        parent_face=jnp.asarray(parent_full),
+        mu_local=jnp.asarray(mu_full),
+        log_scale=jnp.asarray(ls_full),
+        alive=jnp.asarray(alive_full),
+    )

@@ -248,3 +248,25 @@ def test_flame_co_optimization(scene):
     jaw1 = float(state.flame_params["jaw_pose"][0, 0])
     assert abs(jaw1) < jaw0 - 1e-3, (jaw0, jaw1)   # moved toward GT zero
     assert np.isfinite(float(m["loss"]))
+
+
+def test_init_from_points_roundtrip(scene):
+    """Gaussians initialized from a point cloud bind back to the same
+    world positions (simple-knn-style scale + nearest-face binding)."""
+    from omfs4d.models.gaussians import bind_to_mesh, init_gaussians_from_points
+
+    model, cam, verts, img = scene
+    rng = np.random.default_rng(0)
+    # sample points near the mesh surface
+    v = np.asarray(verts)
+    pts = v[rng.choice(len(v), 200, replace=False)] + \
+        rng.normal(0, 1e-4, (200, 3)).astype(np.float32)
+
+    g = init_gaussians_from_points(pts, v, np.asarray(model.faces), 512)
+    assert int(g.alive.sum()) == 200
+    means, rot, scales, opac, cols = bind_to_mesh(g, jnp.asarray(v), model.faces)
+    err = np.linalg.norm(np.asarray(means)[:200] - pts, axis=1)
+    assert err.max() < 1e-3, err.max()
+    # scales are positive and finite (knn-derived)
+    s = np.asarray(scales)[:200]
+    assert np.isfinite(s).all() and (s > 0).all()
