@@ -173,11 +173,21 @@ class AvatarTrainer:
 
     # ── state ────────────────────────────────────────────────
     def init_state(self, capacity: int | None = None, seed: int | None = None,
-                   flame_params: dict | None = None) -> TrainState:
+                   flame_params: dict | None = None,
+                   points: np.ndarray | None = None,
+                   canonical_verts: np.ndarray | None = None) -> TrainState:
+        """`points` + `canonical_verts` switch to point-cloud init
+        (points3d.ply -> nearest-face binding + KNN scales)."""
         capacity = capacity or self.cfg.max_gaussians
-        g = init_gaussians_on_mesh(
-            np.asarray(self.faces), capacity, seed=seed if seed is not None else self.cfg.seed
-        )
+        if points is not None and canonical_verts is not None:
+            from omfs4d.models.gaussians import init_gaussians_from_points
+            g = init_gaussians_from_points(points, canonical_verts,
+                                           np.asarray(self.faces), capacity)
+        else:
+            g = init_gaussians_on_mesh(
+                np.asarray(self.faces), capacity,
+                seed=seed if seed is not None else self.cfg.seed
+            )
         return TrainState(
             gaussians=g,
             opt_state=self.optimizer.init(float_fields(g)),
