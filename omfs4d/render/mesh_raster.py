@@ -123,8 +123,15 @@ def composite_mesh_tiles(
     z_near: float = 0.05,
     z_far: float = 5.0,
     bg_eps: float = 1e-3,
+    vertex_colors=None,
 ):
-    """Per-tile soft-coverage compositing ((T, P, 3) colors, (T, P) alpha)."""
+    """Per-tile soft-coverage compositing ((T, P, 3) colors, (T, P) alpha).
+
+    `vertex_colors` (F, 3, 3) switches from flat per-face color to smooth
+    barycentric interpolation (nvdiffrast's attribute-interpolation model):
+    the barycentric weight of a vertex is the normalized signed distance to
+    its opposite edge — reusing the halfplane values already computed.
+    """
     num_tiles, K = lists.shape
     P = pix.shape[1]
 
@@ -132,7 +139,6 @@ def composite_mesh_tiles(
         idx, count, pix_t = args
         e = edges[idx]                                        # (K, 9)
         ok = opacity[idx]                                     # (K,)
-        ck = colors[idx]                                      # (K, 3)
         zk = depths[idx]                                      # (K,)
         valid = (jnp.arange(K) < count)[:, None]              # (K, 1)
 
@@ -143,12 +149,38 @@ def composite_mesh_tiles(
             return (e[:, 3 * i, None] * px + e[:, 3 * i + 1, None] * py
                     + e[:, 3 * i + 2, None])                  # (K, P)
 
-        cov = (jax.nn.sigmoid(dist(0) / sigma)
-               * jax.nn.sigmoid(dist(1) / sigma)
-               * jax.nn.sigmoid(dist(2) / sigma))             # (K, P)
+        d0, d1, d2 = dist(0), dist(1), dist(2)
+        cov = (jax.nn.sigmoid(d0 / sigma)
+               * jax.nn.sigmoid(d1 / sigma)
+               * jax.nn.sigmoid(d2 / sigma))                  # (K, P)
         alpha = jnp.minimum(ok[:, None] * cov, ALPHA_CAP)
         alpha = jnp.where(alpha < ALPHA_CUTOFF, 0.0, alpha)
         alpha = jnp.where(valid, alpha, 0.0)
+
+        if vertex_colors is None:
+            ck = colors[idx]                                   # (K, 3)
+
+            def color_term(w):                                 # w: (K, P)
+                return jnp.einsum("kp,kc->pc", w, ck,
+                                  preferred_element_type=jnp.float32)
+        else:
+            vc = vertex_colors[idx]                            # (K, 3, 3)
+            # barycentric weights from the halfplane distances: the weight
+            # of vertex i is the distance to its opposite edge.
+            # edge 0 = (v0,v1) opposite v2; edge 1 = (v1,v2) opp v0;
+            # edge 2 = (v2,v0) opp v1
+            b0 = jnp.maximum(d1, 0.0)
+            b1 = jnp.maximum(d2, 0.0)
+            b2 = jnp.maximum(d0, 0.0)
+            bsum = jnp.maximum(b0 + b1 + b2, 1e-8)
+            # per-pixel interpolated color (K, P, 3)
+            ckp = (b0[..., None] * vc[:, None, 0]
+                   + b1[..., None] * vc[:, None, 1]
+                   + b2[..., None] * vc[:, None, 2]) / bsum[..., None]
+
+            def color_term(w):
+                return jnp.einsum("kp,kpc->pc", w, ckp,
+                                  preferred_element_type=jnp.float32)
 
         if aggregation == "softmax":
             # SoftRas-style: foreground color is a depth-softmax over faces
@@ -162,17 +194,14 @@ def composite_mesh_tiles(
                                           logits - m, -jnp.inf))   # (K, P)
             denom = jnp.sum(s, axis=0, keepdims=True)
             w = s / jnp.maximum(denom, 1e-12)                  # (K, P)
-            color_fg = jnp.einsum("kp,kc->pc", w, ck,
-                                  preferred_element_type=jnp.float32)
+            color_fg = color_term(w)
             a_union = 1.0 - jnp.prod(1.0 - alpha, axis=0)      # (P,)
             return color_fg * a_union[:, None], a_union
 
         trans = jnp.cumprod(1.0 - alpha, axis=0)
         t_excl = jnp.concatenate([jnp.ones((1, P)), trans[:-1]], axis=0)
         w = alpha * t_excl
-        color = jnp.einsum("kp,kc->pc", w, ck,
-                           preferred_element_type=jnp.float32)
-        return color, 1.0 - trans[-1]
+        return color_term(w), 1.0 - trans[-1]
 
     pad = (-num_tiles) % chunk_tiles
     lists_p = jnp.pad(lists, ((0, pad), (0, 0)))
@@ -192,12 +221,14 @@ def composite_mesh_tiles(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "max_per_tile",
-                     "max_tiles_per_face", "sigma", "aggregation", "gamma"),
+                     "max_tiles_per_face", "sigma", "aggregation", "gamma",
+                     "vertex_interp"),
 )
 def rasterize_mesh(
     verts: jnp.ndarray,          # (V, 3) world-space mesh vertices
     faces: jnp.ndarray,          # (F, 3) int32
-    face_colors: jnp.ndarray,    # (F, 3) linear rgb
+    face_colors: jnp.ndarray,    # (F, 3) flat rgb, or (V, 3) when
+                                 # vertex_interp=True (smooth shading)
     camera: Camera,
     width: int,
     height: int,
@@ -209,8 +240,9 @@ def rasterize_mesh(
     sigma: float = 1.0,
     aggregation: str = "softmax",
     gamma: float = 0.03,
+    vertex_interp: bool = False,
 ):
-    """Differentiable flat-shaded mesh render.
+    """Differentiable mesh render (flat or barycentric-smooth shading).
 
     Returns (image (H, W, 3), aux {alpha, overflow}).
     """
@@ -229,11 +261,21 @@ def rasterize_mesh(
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
     pix = _tile_pixel_centers(grid_w, grid_h, tile)
-    colors_out, alphas_out = composite_mesh_tiles(
-        edges, face_colors, face_opacity, proj["depth"],
-        binning.tile_lists, binning.tile_counts, pix, sigma,
-        aggregation=aggregation, gamma=gamma,
-    )
+    if vertex_interp:
+        per_face_vcols = face_colors[faces]          # (F, 3 verts, 3 rgb)
+        flat_cols = per_face_vcols.mean(axis=1)
+        colors_out, alphas_out = composite_mesh_tiles(
+            edges, flat_cols, face_opacity, proj["depth"],
+            binning.tile_lists, binning.tile_counts, pix, sigma,
+            aggregation=aggregation, gamma=gamma,
+            vertex_colors=per_face_vcols,
+        )
+    else:
+        colors_out, alphas_out = composite_mesh_tiles(
+            edges, face_colors, face_opacity, proj["depth"],
+            binning.tile_lists, binning.tile_counts, pix, sigma,
+            aggregation=aggregation, gamma=gamma,
+        )
     img, alpha = assemble_tiles(colors_out, alphas_out, width, height, tile)
     if background is None:
         background = jnp.ones((3,), jnp.float32)

@@ -157,3 +157,35 @@ def test_softmax_aggregation_seam_free(cam):
         return jnp.sum(i[:, W // 2 :, 0])
     g = np.asarray(jax.grad(loss)(jnp.asarray(verts)))
     assert np.isfinite(g).all() and np.abs(g[:, 0]).max() > 0
+
+
+def test_vertex_color_interpolation(cam):
+    """Smooth shading: a left-red/right-blue vertex coloring must produce a
+    horizontal gradient across the square."""
+    verts = np.array([
+        [-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0],
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vcols = np.array([
+        [1, 0, 0], [0, 0, 1], [0, 0, 1], [1, 0, 0],
+    ], np.float32)                       # red on x=-0.5, blue on x=+0.5
+    img, _ = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces),
+                            jnp.asarray(vcols), cam, W, H,
+                            background=jnp.zeros(3), sigma=0.5,
+                            vertex_interp=True)
+    img = np.asarray(img)
+    row = img[H // 2]
+    # world +x maps to screen -x for this camera: find which side is red
+    left, right = row[W // 2 - 15], row[W // 2 + 15]
+    assert abs(left[0] - right[0]) > 0.5          # strong horizontal gradient
+    mid = row[W // 2]
+    assert 0.25 < mid[0] < 0.75 and 0.25 < mid[2] < 0.75   # blended center
+
+    # gradients flow to vertex colors
+    def loss(c):
+        i, _ = rasterize_mesh(jnp.asarray(verts), jnp.asarray(faces), c,
+                              cam, W, H, background=jnp.zeros(3),
+                              vertex_interp=True)
+        return jnp.mean(i ** 2)
+    g = np.asarray(jax.grad(loss)(jnp.asarray(vcols)))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
