@@ -117,7 +117,7 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
         img, alpha = composite_reference(proj["uv"], proj["conic"], cols, opac,
                                          binning, width, height, render_cfg["tile"])
     img = img + (1.0 - alpha)[..., None] * bg
-    return img, binning.overflow
+    return img, (binning.overflow, binning.window_clipped)
 
 
 class AvatarTrainer:
@@ -234,27 +234,28 @@ class AvatarTrainer:
             def one(v, w2c_i, fx_i, fy_i, cx_i, cy_i, gt):
                 cam = Camera(w2c=w2c_i, fx=fx_i, fy=fy_i, cx=cx_i, cy=cy_i,
                              width=W, height=H)
-                img, overflow = _render_with_probe(
+                img, stats = _render_with_probe(
                     g, pr, v, faces, cam, W, H, bg, render_cfg
                 )
                 l1 = l1_loss(img, gt)
                 ds = dssim_loss(img, gt)
-                return (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * ds, (img, overflow)
+                return (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * ds, (img, stats)
 
             if cfg.batch_frames == 1:
                 # B == 1: skip vmap — batched lax.sort/gather lowerings are
                 # measurably slower than their unbatched forms on TPU
-                loss1, (img1, ov1) = one(verts[0], w2c[0], fx[0], fy[0],
+                loss1, (img1, st1) = one(verts[0], w2c[0], fx[0], fy[0],
                                          cx[0], cy[0], imgs[0])
-                return loss1, (img1[None], ov1[None])
-            losses, (rendered, overflow) = jax.vmap(one)(
+                return loss1, (img1[None],
+                               jax.tree_util.tree_map(lambda x: x[None], st1))
+            losses, (rendered, stats) = jax.vmap(one)(
                 verts, w2c, fx, fy, cx, cy, imgs
             )
-            return jnp.mean(losses), (rendered, overflow)
+            return jnp.mean(losses), (rendered, stats)
 
         fp0 = float_fields(state.gaussians)
         flame0 = state.flame_params if self.co_optimize else {}
-        (loss, (rendered, overflow)), (grads, flame_grads, probe_grad) = (
+        (loss, (rendered, stats)), (grads, flame_grads, probe_grad) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 fp0, flame0, probe)
         )
@@ -282,10 +283,12 @@ class AvatarTrainer:
             flame_params=flame_p,
             flame_opt_state=flame_opt_state,
         )
+        overflow, window_clipped = stats
         metrics = {
             "loss": loss,
             "psnr": psnr(rendered, imgs.astype(jnp.float32)),
             "overflow": jnp.sum(overflow),
+            "window_clipped": jnp.sum(window_clipped),
             "n_alive": g.alive.sum(),
         }
         return new_state, metrics
