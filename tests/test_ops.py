@@ -127,3 +127,15 @@ class TestKNN:
         d = np.asarray(knn_mean_distance(g.astype(np.float32), k=3, chunk=64))
         # every point has at least 3 axis neighbors at distance 1
         np.testing.assert_allclose(d, 1.0, atol=1e-5)
+
+
+class TestConnectivity:
+    def test_two_components(self):
+        a = make_sphere_mesh(radius=5, center=(0, 0, 0), res=8)
+        b = make_sphere_mesh(radius=5, center=(100, 0, 0), res=8)
+        m = a.merge(b)
+        labels, count = m.connectivity_components()
+        assert count == 2
+        assert (labels[: a.n_points] == labels[0]).all()
+        assert (labels[a.n_points :] == labels[a.n_points]).all()
+        assert labels[0] != labels[a.n_points]
