@@ -324,3 +324,28 @@ def render_avatar_frame(
     cols = eval_colors(gaussians, means, cam_pos)
     return rasterize(means, rot, scales, opac, cols, camera, width, height,
                      background=background, **kw)
+
+
+def render_depth(
+    means, rotations, scales, opacity,
+    camera: Camera,
+    width: int,
+    height: int,
+    **kw,
+):
+    """Expected-depth map E[z | hit] and alpha for a gaussian cloud.
+
+    Runs the standard rasterizer with per-gaussian camera depth as the
+    "color"; the composited value is sum_k w_k z_k, normalized by alpha to
+    the conditional expectation.  Background (alpha ~ 0) pixels return 0.
+    """
+    proj = project_gaussians(camera, means, rotations, scales)
+    z = jnp.clip(proj["depth"], 0.0, None)
+    depth_colors = jnp.stack([z, z, z], axis=1)
+    img, aux = rasterize(
+        means, rotations, scales, opacity, depth_colors, camera,
+        width, height, background=jnp.zeros(3), **kw,
+    )
+    alpha = aux["alpha"]
+    depth = jnp.where(alpha > 1e-3, img[..., 0] / jnp.maximum(alpha, 1e-3), 0.0)
+    return depth, alpha

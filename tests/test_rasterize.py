@@ -158,3 +158,32 @@ class TestRasterize:
             max_per_tile=8, backend="never",
         )
         assert np.asarray(img)[32, 32, 0] > 0.8
+
+
+def test_render_depth(cam):
+    """Expected depth: near cluster reads nearer than far cluster."""
+    from omfs4d.render.rasterize import render_depth
+
+    means = np.zeros((8, 3), np.float32)
+    means[:4, 0] = -0.4          # left cluster
+    means[:4, 2] = -0.5          # nearer (camera at z=-2.5 looking +z)
+    means[4:, 0] = +0.4          # right cluster, farther
+    means[4:, 2] = +0.5
+    rot = np.tile(np.eye(3, dtype=np.float32), (8, 1, 1))
+    scales = np.full((8, 3), 0.05, np.float32)
+    opacity = np.full((8,), 0.95, np.float32)
+
+    depth, alpha = render_depth(
+        jnp.asarray(means), jnp.asarray(rot), jnp.asarray(scales),
+        jnp.asarray(opacity), cam, 64, 64, backend="never",
+    )
+    depth = np.asarray(depth)
+    alpha = np.asarray(alpha)
+    ys, xs = np.nonzero(alpha > 0.5)
+    # camera maps world +x to screen -x; just compare the two blobs' depths
+    d_vals = depth[alpha > 0.5]
+    x_vals = xs
+    d_left = d_vals[x_vals < 32].mean()
+    d_right = d_vals[x_vals >= 32].mean()
+    assert abs(max(d_left, d_right) - 3.0) < 0.2     # far blob ≈ 2.5 + 0.5
+    assert abs(min(d_left, d_right) - 2.0) < 0.2     # near blob ≈ 2.5 - 0.5
