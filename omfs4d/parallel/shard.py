@@ -237,3 +237,119 @@ def render_gaussian_sharded(
     img, alpha = assemble_tiles(col_tiles, alpha_tiles, width, height, tile)
     img = img + (1.0 - alpha)[..., None] * background
     return img, {"alpha": alpha, "overflow": overflow}
+
+
+def avatar_loss_gaussian_sharded(
+    gaussians,
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    camera: Camera,
+    gt_image: jnp.ndarray,
+    mesh: Mesh, axis: str = "gauss",
+    background=None,
+    tile: int = 16,
+    max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 16,
+    slice_capacity_factor: float = 2.0,
+):
+    """L1 photometric loss of a mesh-bound avatar with the GAUSSIAN AXIS
+    sharded over the device mesh — the model-parallel training path.
+
+    Everything per-gaussian (triangle binding, projection, depth-slice
+    routing) runs on the owning shard; only slice-routed screen parameters
+    cross devices (all_to_all), and gradients ride the same collective back
+    to the owner.  Differentiate with jax.grad over the gaussian pytree;
+    combine with a per-shard optimizer for fully sharded training state.
+    """
+    from omfs4d.models.gaussians import bind_to_mesh, eval_colors
+
+    n_dev = mesh.shape[axis]
+    N = gaussians.capacity
+    assert N % n_dev == 0
+    cap = int(np.ceil(slice_capacity_factor * N / n_dev))
+    grid_w = (camera.width + tile - 1) // tile
+    grid_h = (camera.height + tile - 1) // tile
+    pix = _tile_pixel_centers(grid_w, grid_h, tile)
+    if background is None:
+        background = jnp.ones((3,), jnp.float32)
+    width, height = camera.width, camera.height
+    cam_pos = -camera.w2c[:3, :3].T @ camera.w2c[:3, 3]
+
+    g_specs = type(gaussians)(
+        parent_face=P(axis), mu_local=P(axis), quat_local=P(axis),
+        log_scale=P(axis), opacity_logit=P(axis), color=P(axis),
+        sh1=P(axis), alive=P(axis),
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(g_specs, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _loss(g_local, verts_, gt_):
+        means, rot, scales, opac, _ = bind_to_mesh(g_local, verts_, faces)
+        cols = eval_colors(g_local, means, cam_pos)
+        proj = project_gaussians(camera, means, rot, scales)
+        live = proj["in_front"] & (opac > 1.0 / 255.0)
+        opac_eff = jnp.where(live, opac, 0.0)
+
+        # depth-slice edges are a routing decision — keep them out of the
+        # gradient path (pmin/pmax also have no differentiation rule)
+        depth_sg = jax.lax.stop_gradient(proj["depth"])
+        dmin = jax.lax.pmin(
+            jnp.min(jnp.where(live, depth_sg, jnp.inf)), axis)
+        dmax = jax.lax.pmax(
+            jnp.max(jnp.where(live, depth_sg, -jnp.inf)), axis)
+        span = jnp.maximum(dmax - dmin, 1e-6)
+        edges_d = dmin + span * jnp.arange(1, n_dev, dtype=jnp.float32) / n_dev
+        slice_id = jnp.clip(
+            jnp.searchsorted(edges_d, jnp.where(live, depth_sg, dmin)),
+            0, n_dev - 1,
+        ).astype(jnp.int32)
+
+        chans = _pack_channels(proj, cols, opac_eff)
+        n_local = chans.shape[0]
+        order = jnp.argsort(slice_id)
+        sorted_sid = slice_id[order]
+        sorted_ch = chans[order]
+        starts = jnp.searchsorted(
+            sorted_sid, jnp.arange(n_dev + 1, dtype=sorted_sid.dtype),
+            side="left").astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        pos = starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        send = jnp.where(valid[..., None],
+                         sorted_ch[jnp.clip(pos, 0, n_local - 1)], 0.0)
+
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        ch = recv.reshape(n_dev * cap, N_CHAN)
+        uv, conic = ch[:, 0:2], ch[:, 2:5]
+        cols_r, opac_r = ch[:, 5:8], ch[:, 8]
+        proj_slice = {
+            "uv": uv, "conic": conic,
+            "depth": jnp.where(opac_r > 0, ch[:, 9], jnp.inf),
+            "radius": ch[:, 10], "in_front": opac_r > 0,
+        }
+        binning = bin_gaussians(proj_slice, opac_r, width, height, tile,
+                                max_per_tile, max_tiles_per_gaussian)
+        col_s, alp_s = composite_tiles_xla(
+            uv, conic, cols_r, opac_r,
+            binning.tile_lists, binning.tile_counts, pix)
+        trans_s = 1.0 - alp_s
+
+        all_col = jax.lax.all_gather(col_s, axis)
+        all_trans = jax.lax.all_gather(trans_s, axis)
+        log_t = jnp.log(jnp.maximum(all_trans, 1e-20))
+        cum = jnp.cumsum(log_t, axis=0)
+        t_excl = jnp.exp(jnp.concatenate(
+            [jnp.zeros_like(cum[:1]), cum[:-1]], axis=0))
+        color = jnp.sum(all_col * t_excl[..., None], axis=0)
+        alpha = 1.0 - jnp.exp(cum[-1])
+
+        img, a = assemble_tiles(color, alpha, width, height, tile)
+        img = img + (1.0 - a)[..., None] * background
+        return jnp.mean(jnp.abs(img - gt_))
+
+    return _loss(gaussians, verts, gt_image)

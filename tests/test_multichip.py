@@ -160,3 +160,61 @@ def test_gaussian_sharded_gradients_flow():
         jnp.asarray(colors), jnp.asarray(opacity))
     assert np.isfinite(np.asarray(gc)).all() and np.abs(np.asarray(gc)).max() > 0
     assert np.isfinite(np.asarray(go)).all() and np.abs(np.asarray(go)).max() > 0
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_gaussian_sharded_training_matches_unsharded():
+    """Model-parallel avatar training: loss AND per-gaussian gradients over
+    a 4-way sharded cloud equal the single-device values."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.models.gaussians import bind_to_mesh, eval_colors
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.shard import avatar_loss_gaussian_sharded
+    from omfs4d.render.rasterize import rasterize
+    from omfs4d.train.trainer import float_fields, with_floats
+    from omfs4d.io.synthetic import textured_gt_avatar
+
+    S = 32
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    g = textured_gt_avatar(model, capacity=796)  # hull gives 796 faces
+    cap4 = (g.capacity // 4) * 4
+    g = jax.tree_util.tree_map(lambda a: a[:cap4], g)
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((1, 100))})[0]
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0, 1, (S, S, 3)), jnp.float32)
+
+    # unsharded loss + grads
+    def loss_single(fp):
+        gg = with_floats(g, fp)
+        means, rot, scales, opac, _ = bind_to_mesh(gg, verts, model.faces)
+        cam_pos = -cam.w2c[:3, :3].T @ cam.w2c[:3, 3]
+        cols = eval_colors(gg, means, cam_pos)
+        img, aux = rasterize(means, rot, scales, opac, cols, cam, S, S,
+                             max_per_tile=1024, backend="never")
+        return jnp.mean(jnp.abs(img - gt)), aux["overflow"]
+
+    (l1, ov), g1 = jax.value_and_grad(loss_single, has_aux=True)(float_fields(g))
+    assert int(ov) == 0   # no K-cap overflow: sharded semantics then match
+
+    # sharded loss + grads
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+
+    def loss_sharded(fp):
+        gg = with_floats(g, fp)
+        return avatar_loss_gaussian_sharded(
+            gg, verts, model.faces, cam, gt, mesh=mesh, max_per_tile=1024)
+
+    l2, g2 = jax.jit(jax.value_and_grad(loss_sharded))(float_fields(g))
+
+    assert abs(float(l1) - float(l2)) < 1e-5, (float(l1), float(l2))
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        scale = max(np.abs(a).max(), 1e-5)
+        np.testing.assert_allclose(b, a, atol=5e-4 * scale, rtol=5e-3,
+                                   err_msg=f"grad mismatch: {k}")
