@@ -111,7 +111,12 @@ class FlameTracker:
             # canonical head sits (monocular convention: static camera,
             # head pose lives in rotation/translation)
             "translation": jnp.zeros((T, 3), jnp.float32),
-            "texture": jnp.zeros((self.model.faces.shape[0], 3), jnp.float32),
+            # splat backend: per-face colors; mesh backend: per-vertex colors
+            # (barycentric smooth shading)
+            "texture": jnp.zeros(
+                (self.model.n_vertices
+                 if self.cfg.photometric_backend == "mesh"
+                 else self.model.faces.shape[0], 3), jnp.float32),
             "static_offset": jnp.zeros((1, self.model.n_vertices, 3), jnp.float32),
         }
 
@@ -149,6 +154,7 @@ class FlameTracker:
                     self.width, self.height, face_opacity=0.98,
                     background=bg, tile=self.tile,
                     max_per_tile=self.max_per_tile,
+                    vertex_interp=True,
                 )
                 return jnp.mean(jnp.abs(img - gt))
         else:
