@@ -51,27 +51,41 @@ def render_dataset_frames(
     out_renders.mkdir(parents=True, exist_ok=True)
     if out_gt is not None:
         Path(out_gt).mkdir(parents=True, exist_ok=True)
+    T = len(ds)
+    if T == 0:
+        return out_renders
 
-    render_one = None
-    for i in range(len(ds)):
-        params = {k: jnp.asarray(v) for k, v in ds.load_frame_params(i).items()}
-        verts = flame_forward(flame_model, params)[0]
+    # ONE batched, jitted FLAME forward for all frames (a per-frame eager
+    # forward dominated the render stage's wall time)
+    per_frame = [ds.load_frame_params(i) for i in range(T)]
+    batched = {}
+    for k in per_frame[0]:
+        if k == "dynamic_offset":
+            continue
+        if k == "shape" or k == "static_offset":
+            batched[k] = jnp.asarray(per_frame[0][k])
+        else:
+            batched[k] = jnp.asarray(
+                np.concatenate([np.atleast_2d(p[k]) for p in per_frame]))
+    verts_all = jax.jit(lambda p: flame_forward(flame_model, p))(batched)
+
+    cam0 = ds.camera(0)
+    W, H = cam0.width, cam0.height
+
+    @jax.jit
+    def render_one(g, v, w2c, fx, fy, cx, cy):
+        from omfs4d.ops.camera import Camera
+        c = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+        img, _ = render_avatar_frame(
+            g, v, flame_model.faces, c, W, H,
+            backend=backend, max_per_tile=max_per_tile,
+        )
+        return img
+
+    for i in range(T):
         cam = ds.camera(i)
-        if render_one is None:
-            W, H = cam.width, cam.height
-
-            def render_one(g, v, w2c, fx, fy, cx, cy):
-                from omfs4d.ops.camera import Camera
-                c = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
-                img, _ = render_avatar_frame(
-                    g, v, flame_model.faces, c, W, H,
-                    backend=backend, max_per_tile=max_per_tile,
-                )
-                return img
-
-            render_one = jax.jit(render_one)
-
-        img = render_one(gaussians, verts, cam.w2c, cam.fx, cam.fy, cam.cx, cam.cy)
+        img = render_one(gaussians, verts_all[i], cam.w2c, cam.fx, cam.fy,
+                         cam.cx, cam.cy)
         name = Path(ds.frame_meta(i)["file_path"]).name
         write_image(out_renders / name, np.asarray(img))
         if out_gt is not None:
