@@ -105,10 +105,12 @@ class PredictConfig:
 
 @dataclass
 class ParallelConfig:
-    """Device mesh layout.  data shards frames, tile shards the screen grid."""
+    """Device mesh layout: data shards frames, tile shards the screen grid,
+    gauss shards the gaussian axis (see omfs4d.parallel)."""
 
-    data_axis: int = -1            # -1 = all devices on the data axis
-    tile_axis: int = 1
+    n_data: int = -1               # -1 = all remaining devices
+    n_tile: int = 1
+    n_gauss: int = 1
 
 
 @dataclass

@@ -1,1 +1,6 @@
-from omfs4d.render.rasterize import rasterize, render_avatar_frame  # noqa: F401
+from omfs4d.render.rasterize import (  # noqa: F401
+    rasterize,
+    render_avatar_frame,
+    render_depth,
+)
+from omfs4d.render.mesh_raster import rasterize_mesh  # noqa: F401
