@@ -49,3 +49,15 @@ def test_cli_clinical_cut_and_move(tmp_path):
     assert rc == 0
     verts, _ = load_mesh(out)
     assert len(verts) > 20
+
+
+def test_cli_synthetic_data(tmp_path):
+    out = tmp_path / "data"
+    rc = cli_main([
+        "synthetic-data", "--out", str(out), "--frames", "6", "--size", "48",
+        "render.use_pallas=never",
+    ])
+    assert rc == 0
+    assert len(list((out / "images").glob("*.png"))) == 6
+    assert (out / "flame_param.npz").exists()
+    assert (out / "transforms_train.json").exists()
