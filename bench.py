@@ -181,14 +181,18 @@ def main():
         return optax.apply_updates(p, updates), opt_state, loss
 
     _mark("compiling flame fit")
-    fit_jit = jax.jit(fit_step)
-    p, opt_state, loss = fit_jit(p, opt_state)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(n_timed * 2):
+    try:
+        fit_jit = jax.jit(fit_step)
         p, opt_state, loss = fit_jit(p, opt_state)
-    jax.block_until_ready(loss)
-    flame_ips = (n_timed * 2) / (time.perf_counter() - t0)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_timed * 2):
+            p, opt_state, loss = fit_jit(p, opt_state)
+        jax.block_until_ready(loss)
+        flame_ips = (n_timed * 2) / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — keep the headline metric
+        _mark(f"flame fit bench failed: {e}")
+        flame_ips = float("nan")
 
     result = {
         "metric": f"3dgs_train_iters_per_sec@{size}",
