@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Full verification pass: test suite (virtual 8-CPU mesh), multichip dryrun,
+# entry compile check, quick bench.  TPU-independent except the final bench.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== unit + integration tests (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -x -q
+
+echo "== multichip dryrun (8 virtual devices) =="
+JAX_PLATFORM_NAME=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as ge
+ge.dryrun_multichip(8); print('dryrun OK')
+fn, args = ge.entry()
+img = jax.jit(fn)(*args); img.block_until_ready()
+print('entry OK', img.shape)
+"
+
+echo "== benchmark (current backend) =="
+python bench.py --quick
