@@ -24,6 +24,35 @@ import numpy as np
 BASELINE_TRAIN_ITERS_PER_SEC = 30_000 / (30 * 60)   # ~16.7 (app.py:1347)
 
 
+def tpu_healthcheck(timeout_s: float = 120.0) -> bool:
+    """Probe the (tunneled, flaky) TPU backend in a subprocess with a timeout.
+
+    The axon backend can be unreachable for 20+ minutes at a time; probing
+    in-process would either hang or poison jax's backend cache.  A dead probe
+    means bench falls back to a CPU quick run but STILL emits its JSON line.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("OMFS4D_BENCH_FORCE_CPU"):
+        return False
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "assert jax.default_backend() != 'cpu';"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "jax.block_until_ready(x @ x)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:  # noqa: BLE001 — timeout or spawn failure
+        return False
+
+
 def pallas_smoke_ok() -> bool:
     """Compile + run the Pallas composite on a tiny input; fall back if broken."""
     try:
@@ -57,7 +86,18 @@ def main():
     ap.add_argument("--iters", type=int, default=0)
     args = ap.parse_args()
 
+    import os
+
+    tpu_ok = tpu_healthcheck()
+    if not tpu_ok:
+        _mark("TPU backend unreachable — falling back to CPU quick run")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        args.quick = True
+
     import jax
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")  # env alone is not enough
     # persistent compile cache: repeat bench runs skip minute-scale
     # XLA/Mosaic compiles (the tunneled chip compiles slowly)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -140,25 +180,33 @@ def main():
 
     idx0 = jnp.zeros((1,), jnp.int32)
     _mark("compiling train step")
-    state, m = trainer._step_fn(state, data, idx0)          # compile + warmup
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        state, m = trainer._step_fn(state, data,
-                                    jnp.full((1,), i % T, jnp.int32))
-    jax.block_until_ready(m["loss"])
-    train_ips = n_timed / (time.perf_counter() - t0)
+    try:
+        state, m = trainer._step_fn(state, data, idx0)      # compile + warmup
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            state, m = trainer._step_fn(state, data,
+                                        jnp.full((1,), i % T, jnp.int32))
+        jax.block_until_ready(m["loss"])
+        train_ips = n_timed / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — chip may die mid-run
+        _mark(f"train bench failed: {e}")
+        train_ips = float("nan")
     _mark(f"train_ips={train_ips:.2f}")
 
     # ── render-only fps ──────────────────────────────────────
     _mark("compiling render")
-    img = trainer.render_frame(state, verts[0], cam)
-    jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        img = trainer.render_frame(state, verts[i % T], cam)
-    jax.block_until_ready(img)
-    render_fps = n_timed / (time.perf_counter() - t0)
+    try:
+        img = trainer.render_frame(state, verts[0], cam)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            img = trainer.render_frame(state, verts[i % T], cam)
+        jax.block_until_ready(img)
+        render_fps = n_timed / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        _mark(f"render bench failed: {e}")
+        render_fps = float("nan")
     _mark(f"render_fps={render_fps:.2f}")
 
     # ── FLAME-fit iters/sec (landmark stage, T=150 frames) ───
@@ -194,22 +242,52 @@ def main():
         _mark(f"flame fit bench failed: {e}")
         flame_ips = float("nan")
 
+    def _num(x, nd=3):
+        """nan/inf -> None so the emitted line is strictly valid JSON."""
+        x = float(x)
+        return round(x, nd) if np.isfinite(x) else None
+
     result = {
         "metric": f"3dgs_train_iters_per_sec@{size}",
-        "value": round(train_ips, 3),
+        "value": _num(train_ips),
         "unit": "iter/s",
-        "vs_baseline": round(train_ips / BASELINE_TRAIN_ITERS_PER_SEC, 3),
+        "vs_baseline": _num(train_ips / BASELINE_TRAIN_ITERS_PER_SEC),
         "extra": {
-            "render_fps": round(render_fps, 2),
-            "flame_fit_iters_per_sec": round(flame_ips, 2),
+            "render_fps": _num(render_fps, 2),
+            "flame_fit_iters_per_sec": _num(flame_ips, 2),
             "n_gaussians": target_alive,
             "resolution": size,
             "backend": backend,
             "pallas": use_pallas == "always",
+            "tpu_unreachable": not tpu_ok,
         },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import signal
+
+    def _watchdog(sig, frame):  # noqa: ARG001
+        raise TimeoutError("bench watchdog expired (TPU hang?)")
+
+    try:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(int(os.environ.get("OMFS4D_BENCH_WATCHDOG_SECS", "1500")))
+    except (ValueError, OSError):
+        pass  # non-main thread / unsupported platform
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — ALWAYS emit the JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "3dgs_train_iters_per_sec@512",
+            "value": None,
+            "unit": "iter/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        raise SystemExit(0)

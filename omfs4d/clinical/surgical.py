@@ -25,26 +25,36 @@ import numpy as np
 from omfs4d.ops.mesh import TriMesh
 
 
+def _axis_rotation(axis: int, degrees: float) -> np.ndarray:
+    """3x3 rotation about a coordinate axis (0=X, 1=Y, 2=Z) by Rodrigues."""
+    k = np.zeros(3)
+    k[axis] = 1.0
+    theta = np.radians(degrees)
+    kx = np.cross(np.eye(3), k)  # skew-symmetric cross-product matrix
+    return np.eye(3) + np.sin(theta) * kx + (1.0 - np.cos(theta)) * (kx @ kx)
+
+
+def _unit(vec, fallback=None) -> np.ndarray:
+    """Normalize; degenerate input returns ``fallback`` or raises."""
+    v = np.asarray(vec, dtype=np.float64)
+    norm = float(np.linalg.norm(v))
+    if norm < 1e-12:
+        if fallback is not None:
+            return np.asarray(fallback, dtype=np.float64)
+        raise ValueError("advancement_direction must be a non-zero vector.")
+    return v / norm
+
+
 def _angle_to_normal(base_normal, pitch_deg: float, yaw_deg: float):
-    """Rotate a base plane normal by pitch (about X) then yaw (about Z)."""
-    n = np.asarray(base_normal, dtype=np.float64)
-    p = np.radians(pitch_deg)
-    rx = np.array([[1, 0, 0], [0, np.cos(p), -np.sin(p)], [0, np.sin(p), np.cos(p)]])
-    y = np.radians(yaw_deg)
-    rz = np.array([[np.cos(y), -np.sin(y), 0], [np.sin(y), np.cos(y), 0], [0, 0, 1]])
-    rotated = rz @ rx @ n
-    length = np.linalg.norm(rotated)
-    if length < 1e-12:
-        return tuple(base_normal)
-    return tuple(rotated / length)
+    """Tilt a cut-plane normal: pitch about X first, then yaw about Z."""
+    tilted = _axis_rotation(2, yaw_deg) @ _axis_rotation(0, pitch_deg) @ np.asarray(
+        base_normal, dtype=np.float64
+    )
+    return tuple(_unit(tilted, fallback=base_normal))
 
 
 def _normalise_direction(direction) -> np.ndarray:
-    vec = np.asarray(direction, dtype=np.float64)
-    length = np.linalg.norm(vec)
-    if length < 1e-12:
-        raise ValueError("advancement_direction must be a non-zero vector.")
-    return vec / length
+    return _unit(direction)
 
 
 def _plane_quad(center, direction, size: float) -> TriMesh:
@@ -146,23 +156,30 @@ class SurgicalCutter:
         else:
             source_max = source_mand = self.maxilla
 
-        # Le Fort I on the maxilla: invert=False keeps Z > origin (upper).
-        mobile_invert = bool(lefort_flip) and not self.has_separate
-        upper_skull = source_max.clip(lefort_n, lefort_origin, invert=mobile_invert)
-        mobile_maxilla = source_max.clip(lefort_n, lefort_origin, invert=not mobile_invert)
+        def halves(mesh: TriMesh, normal, origin):
+            """(above, below) the plane — above = along +normal."""
+            return (
+                mesh.clip(normal, origin, invert=False),
+                mesh.clip(normal, origin, invert=True),
+            )
 
-        # BSSO on the mandible: between the planes -> distal (mobile).
-        mid = source_mand.clip(bsso_l_n, bsso_l_origin, invert=False)
-        distal_mandible = mid.clip(bsso_r_n, bsso_r_origin, invert=True)
-        left_ramus = source_mand.clip(bsso_l_n, bsso_l_origin, invert=True)
-        right_ramus = source_mand.clip(bsso_r_n, bsso_r_origin, invert=False)
+        # Le Fort I on the maxilla: +Z side is the fixed skull.  In
+        # single-mesh mode `lefort_flip` swaps which side is mobile.
+        above, below = halves(source_max, lefort_n, lefort_origin)
+        if lefort_flip and not self.has_separate:
+            above, below = below, above
+        upper_skull, mobile_maxilla = above, below
 
-        if left_ramus.n_points and right_ramus.n_points:
-            proximal_rami = left_ramus.merge(right_ramus)
-        elif left_ramus.n_points:
-            proximal_rami = left_ramus
-        elif right_ramus.n_points:
-            proximal_rami = right_ramus
+        # BSSO on the mandible: the slab between the two sagittal planes is
+        # the mobile distal segment; the outer halves are the fixed rami.
+        inner_l, left_ramus = halves(source_mand, bsso_l_n, bsso_l_origin)
+        right_ramus, distal_mandible = halves(inner_l, bsso_r_n, bsso_r_origin)
+
+        nonempty_rami = [m for m in (left_ramus, right_ramus) if m.n_points]
+        if len(nonempty_rami) == 2:
+            proximal_rami = nonempty_rami[0].merge(nonempty_rami[1])
+        elif nonempty_rami:
+            proximal_rami = nonempty_rami[0]
         else:
             proximal_rami = TriMesh()
 

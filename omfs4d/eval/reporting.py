@@ -1,16 +1,17 @@
-"""Deterministic validation reporting — strict PSNR/SSIM by view bucket.
+"""Strict validation scoring — deterministic PSNR/SSIM grouped by view bucket.
 
-Behavioral parity with the reference (ref: validation_reporting.py:16-121):
-same PSNR convention (identical images cap at 99.0 dB on uint8 scale), same
-global-statistics SSIM, same temporal-progress buckets
-(front <0.2 or >0.8 / profile 0.35-0.65 / rear otherwise), same
-strict_scores.json + human_review_checklist.md outputs.
+Output contract matches the reference (ref: validation_reporting.py:16-121):
+``strict_scores.json`` with per-frame rows + per-bucket summary, the 99.0 dB
+PSNR cap for identical uint8 frames, temporal-progress bucket boundaries
+(front: <0.2 or >0.8; profile: 0.35-0.65; rear: the rest), and a
+human-review checklist markdown.  The implementation here is vectorized:
+frame pairs are stacked per shape group and scored with batched numpy
+reductions rather than a per-frame Python loop.
 """
 
 from __future__ import annotations
 
 import json
-import math
 from pathlib import Path
 
 import numpy as np
@@ -20,119 +21,183 @@ from omfs4d.io.video import read_image
 
 log = get_logger("validation_reporting")
 
+PSNR_CAP_DB = 99.0
+_LUMA = np.array([0.299, 0.587, 0.114], np.float64)
+_SSIM_C1 = (0.01 * 255.0) ** 2
+_SSIM_C2 = (0.03 * 255.0) ** 2
+
+#: temporal-progress bucket boundaries (ref: validation_reporting.py:40-45)
+BUCKETS = ("front", "profile", "rear")
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched PSNR on (N, ...) 0-255 arrays; zero-MSE frames hit the cap."""
+    d = a.reshape(len(a), -1).astype(np.float64) - b.reshape(len(b), -1)
+    mse = np.einsum("np,np->n", d, d) / d.shape[1]
+    with np.errstate(divide="ignore"):
+        db = 10.0 * np.log10(255.0**2 / mse)
+    return np.where(mse == 0.0, PSNR_CAP_DB, db)
+
+
+def ssim_global_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched single-window SSIM on luma for (N, H, W[, 3]) 0-255 arrays.
+
+    Uses whole-image statistics (one window) — the strict-gate convention,
+    not the windowed perceptual SSIM.
+    """
+    if a.ndim == 4:
+        a = a.astype(np.float64) @ _LUMA
+    if b.ndim == 4:
+        b = b.astype(np.float64) @ _LUMA
+    x = a.reshape(len(a), -1).astype(np.float64)
+    y = b.reshape(len(b), -1).astype(np.float64)
+    mx, my = x.mean(axis=1), y.mean(axis=1)
+    xc, yc = x - mx[:, None], y - my[:, None]
+    vx = np.einsum("np,np->n", xc, xc) / x.shape[1]
+    vy = np.einsum("np,np->n", yc, yc) / y.shape[1]
+    cov = np.einsum("np,np->n", xc, yc) / x.shape[1]
+    num = (2.0 * mx * my + _SSIM_C1) * (2.0 * cov + _SSIM_C2)
+    den = (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
+    return num / den
+
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """PSNR on 0-255 images; identical images return the 99.0 dB cap."""
-    mse = float(np.mean((a - b) ** 2))
-    if mse == 0.0:
-        return 99.0
-    return 20.0 * math.log10(255.0 / math.sqrt(mse))
+    """Scalar convenience wrapper over :func:`psnr_batch`."""
+    return float(psnr_batch(a[None], b[None])[0])
 
 
 def ssim_global(a: np.ndarray, b: np.ndarray) -> float:
-    """Global-statistics SSIM on luma (not windowed — cheap strict gate)."""
-    if a.ndim == 3:
-        a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
-    if b.ndim == 3:
-        b = 0.299 * b[:, :, 0] + 0.587 * b[:, :, 1] + 0.114 * b[:, :, 2]
-    a = a.astype(np.float64)
-    b = b.astype(np.float64)
-    mu_x, mu_y = a.mean(), b.mean()
-    sig_x = ((a - mu_x) ** 2).mean()
-    sig_y = ((b - mu_y) ** 2).mean()
-    sig_xy = ((a - mu_x) * (b - mu_y)).mean()
-    c1 = (0.01 * 255) ** 2
-    c2 = (0.03 * 255) ** 2
-    return float(
-        ((2 * mu_x * mu_y + c1) * (2 * sig_xy + c2))
-        / ((mu_x * mu_x + mu_y * mu_y + c1) * (sig_x + sig_y + c2))
+    """Scalar convenience wrapper over :func:`ssim_global_batch`."""
+    return float(ssim_global_batch(a[None], b[None])[0])
+
+
+def bucket_batch(progress: np.ndarray) -> np.ndarray:
+    """Vectorized temporal-progress -> view-bucket mapping."""
+    p = np.asarray(progress, np.float64)
+    return np.select(
+        [(p < 0.20) | (p > 0.80), (p >= 0.35) & (p <= 0.65)],
+        ["front", "profile"],
+        default="rear",
     )
 
 
 def bucket(progress: float) -> str:
-    if progress < 0.20 or progress > 0.80:
-        return "front"
-    if 0.35 <= progress <= 0.65:
-        return "profile"
-    return "rear"
+    return str(bucket_batch(np.asarray([progress]))[0])
 
 
 def find_latest_train_dir(model_path: Path) -> Path:
-    train_dir = Path(model_path) / "train"
-    if not train_dir.exists():
-        raise FileNotFoundError(f"Missing train directory: {train_dir}")
-    dirs = [p for p in train_dir.iterdir() if p.is_dir() and p.name.startswith("ours_")]
-    if not dirs:
-        raise FileNotFoundError(f"No ours_* directories in {train_dir}")
-    return sorted(dirs, key=lambda p: int(p.name.split("_")[-1]), reverse=True)[0]
+    """Highest-iteration ``train/ours_N`` directory under a model path."""
+    candidates = sorted(
+        Path(model_path).glob("train/ours_*"),
+        key=lambda p: int(p.name.rsplit("_", 1)[1]) if p.is_dir() else -1,
+    )
+    if not candidates:
+        raise FileNotFoundError(
+            f"no train/ours_* directories under {model_path}"
+        )
+    return candidates[-1]
 
 
-CHECKLIST = """# Human Review Checklist
+REVIEW_ITEMS = (
+    "Jaw contour stays continuous when the head turns to profile.",
+    "Both ears keep plausible shape in left and right profile views.",
+    "The head-to-neck boundary does not drift or tear during motion.",
+    "Slow rotations show no frame-to-frame shimmer or popping gaussians.",
+    "Maxilla/mandible displacement looks surgically plausible, not rubbery.",
+)
 
-- [ ] Jawline continuity in profile views.
-- [ ] Ear geometry plausibility in left/right profile.
-- [ ] Neck-head transition remains stable across motion.
-- [ ] No visible shimmer/flicker in slow turns.
-- [ ] Maxilla/mandible changes remain anatomically plausible.
-"""
+
+def _write_checklist(path: Path) -> None:
+    lines = ["# Human Review Checklist", ""]
+    lines += [f"- [ ] {item}" for item in REVIEW_ITEMS]
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+
+def _read_manifest_rows(deterministic_frames_dir: Path) -> list[dict]:
+    manifest = deterministic_frames_dir / "deterministic_indices_manifest.json"
+    if not manifest.exists():
+        raise FileNotFoundError(f"deterministic manifest not found: {manifest}")
+    return json.loads(manifest.read_text(encoding="utf-8")).get("exports", [])
+
+
+def score_frame_pairs(
+    renders_dir: Path, gt_dir: Path, rows: list[dict]
+) -> list[dict]:
+    """Score every manifest row whose render+GT pair exists on disk.
+
+    Pairs are grouped by image shape and scored with the batched metrics —
+    one numpy reduction per shape group instead of per frame.
+    """
+    indices, names, renders, gts = [], [], [], []
+    for row in rows:
+        name = row["source"]
+        rp, gp = renders_dir / name, gt_dir / name
+        if rp.exists() and gp.exists():
+            indices.append(int(row["index"]))
+            names.append(name)
+            renders.append(read_image(rp))
+            gts.append(read_image(gp))
+    if not indices:
+        return []
+
+    denom = max(1, max(indices))
+    progress = np.asarray(indices, np.float64) / denom
+    buckets = bucket_batch(progress)
+
+    psnr_vals = np.empty(len(indices))
+    ssim_vals = np.empty(len(indices))
+    by_shape: dict[tuple, list[int]] = {}
+    for i, img in enumerate(renders):
+        by_shape.setdefault(img.shape, []).append(i)
+    for group in by_shape.values():
+        a = np.stack([renders[i] for i in group]).astype(np.float64)
+        b = np.stack([gts[i] for i in group]).astype(np.float64)
+        psnr_vals[group] = psnr_batch(a, b)
+        ssim_vals[group] = ssim_global_batch(a, b)
+
+    return [
+        {
+            "index": indices[i],
+            "frame": names[i],
+            "progress": float(progress[i]),
+            "bucket": str(buckets[i]),
+            "psnr": float(psnr_vals[i]),
+            "ssim": float(ssim_vals[i]),
+        }
+        for i in range(len(indices))
+    ]
+
+
+def summarize(rows: list[dict]) -> dict:
+    """Per-bucket mean PSNR/SSIM over scored rows."""
+    by_bucket = {}
+    for name in BUCKETS:
+        sel = [r for r in rows if r["bucket"] == name]
+        by_bucket[name] = {
+            "count": len(sel),
+            "psnr": float(np.mean([r["psnr"] for r in sel])) if sel else None,
+            "ssim": float(np.mean([r["ssim"] for r in sel])) if sel else None,
+        }
+    return {"count": len(rows), "by_bucket": by_bucket}
 
 
 def generate_report(model_path, deterministic_frames_dir, output_dir) -> dict:
-    """Score the deterministic frame subset against GT; write strict_scores.json."""
-    model_path = Path(model_path)
-    deterministic_frames_dir = Path(deterministic_frames_dir)
-    output_dir = Path(output_dir)
+    """Score the deterministic frame subset vs GT; emit strict_scores.json."""
+    latest = find_latest_train_dir(Path(model_path))
+    renders_dir, gt_dir = latest / "renders", latest / "gt"
+    missing = [d for d in (renders_dir, gt_dir) if not d.exists()]
+    if missing:
+        raise FileNotFoundError(f"missing render outputs: {missing}")
 
-    latest = find_latest_train_dir(model_path)
-    renders_dir = latest / "renders"
-    gt_dir = latest / "gt"
-    if not renders_dir.exists() or not gt_dir.exists():
-        raise FileNotFoundError(f"Missing renders/gt directories in {latest}")
+    rows = score_frame_pairs(
+        renders_dir, gt_dir, _read_manifest_rows(Path(deterministic_frames_dir))
+    )
+    report = {"summary": summarize(rows), "rows": rows}
 
-    manifest = deterministic_frames_dir / "deterministic_indices_manifest.json"
-    if not manifest.exists():
-        raise FileNotFoundError(f"Missing deterministic manifest: {manifest}")
-    with open(manifest, "r", encoding="utf-8") as f:
-        idx_manifest = json.load(f)
-    rows = idx_manifest.get("exports", [])
-
-    metrics = []
-    max_index = max((int(r.get("index", 0)) for r in rows), default=1)
-    for row in rows:
-        idx = int(row["index"])
-        src_name = row["source"]
-        render_path = renders_dir / src_name
-        gt_path = gt_dir / src_name
-        if not render_path.exists() or not gt_path.exists():
-            continue
-        a = read_image(render_path).astype(np.float32)
-        b = read_image(gt_path).astype(np.float32)
-        progress = idx / max(1, max_index)
-        metrics.append({
-            "index": idx,
-            "frame": src_name,
-            "progress": progress,
-            "bucket": bucket(progress),
-            "psnr": psnr(a, b),
-            "ssim": ssim_global(a, b),
-        })
-
-    summary = {"count": len(metrics), "by_bucket": {}}
-    for b in ("front", "profile", "rear"):
-        vals = [m for m in metrics if m["bucket"] == b]
-        if not vals:
-            summary["by_bucket"][b] = {"count": 0, "psnr": None, "ssim": None}
-            continue
-        summary["by_bucket"][b] = {
-            "count": len(vals),
-            "psnr": float(np.mean([v["psnr"] for v in vals])),
-            "ssim": float(np.mean([v["ssim"] for v in vals])),
-        }
-
-    output_dir.mkdir(parents=True, exist_ok=True)
-    scores_path = output_dir / "strict_scores.json"
-    with open(scores_path, "w", encoding="utf-8") as f:
-        json.dump({"summary": summary, "rows": metrics}, f, indent=2)
-    (output_dir / "human_review_checklist.md").write_text(CHECKLIST, encoding="utf-8")
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    scores_path = out / "strict_scores.json"
+    scores_path.write_text(json.dumps(report, indent=2), encoding="utf-8")
+    _write_checklist(out / "human_review_checklist.md")
     log.info(f"Wrote strict report: {scores_path}")
-    return {"summary": summary, "rows": metrics}
+    return report
