@@ -147,7 +147,7 @@ def main():
         log_scale=jnp.asarray(np.asarray(g0.log_scale)[idx] - np.log(reps ** 0.5)),
         opacity_logit=jnp.asarray(np.asarray(g0.opacity_logit)[idx] - 1.5),
         color=jnp.asarray(np.asarray(g0.color)[idx]),
-        sh1=jnp.asarray(np.asarray(g0.sh1)[idx]),
+        sh=jnp.asarray(np.asarray(g0.sh)[idx]),
         alive=jnp.ones(target_alive, bool),
     )
     n_pad = capacity - target_alive

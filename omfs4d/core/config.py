@@ -34,14 +34,19 @@ class TrackConfig:
 
     n_shape: int = 300
     n_expr: int = 100
-    landmark_source: str = "synthetic"   # synthetic | file | detector plugin
+    landmark_source: str = "synthetic"   # auto | file | neural | synthetic | plugin
+    # self-trained neural detector budget (track/detector.py)
+    detector_steps: int = 1500
+    detector_size: int = 96
     # Per-stage step counts, mirroring the reference's VHAP tuning surface
     # (run_full_pipeline_conda.ps1:191-215).
     steps_lmk_init_rigid: int = 300
     steps_lmk_init_all: int = 300
     steps_rgb_init_texture: int = 150
     steps_rgb_init_all: int = 150
-    steps_rgb_sequential: int = 30       # per-frame
+    steps_rgb_init_offset: int = 100     # static per-vertex offset stage
+    steps_rgb_sequential: int = 30       # per-frame (warm-start scan over T)
+    steps_global: int = 240              # batched steps per global epoch
     epochs_global: int = 2
     lr: float = 1e-2
     photometric: bool = True
@@ -89,7 +94,7 @@ class TrainConfig:
     lr_flame_pose: float = 1e-5
     lr_flame_expr: float = 1e-4
     seed: int = 0
-    sh_degree: int = 0              # per-gaussian RGB (degree 0) for avatars
+    sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
 
 
 @dataclass

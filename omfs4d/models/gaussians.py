@@ -30,7 +30,7 @@ class GaussianAvatar(NamedTuple):
     log_scale: jnp.ndarray     # (N, 3) log scale relative to triangle size
     opacity_logit: jnp.ndarray # (N,)
     color: jnp.ndarray         # (N, 3) DC rgb in [0, 1] via sigmoid at render
-    sh1: jnp.ndarray           # (N, 3, 3) degree-1 SH coeffs (3 basis x rgb)
+    sh: jnp.ndarray            # (N, S, 3) SH rest coeffs; S in {3, 8, 15}
     alive: jnp.ndarray         # (N,) bool — capacity mask
 
     @property
@@ -74,42 +74,16 @@ def triangle_frames(verts: jnp.ndarray, faces: jnp.ndarray):
     return R, t, s
 
 
-@jax.custom_vjp
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """`table[idx]` with a segment-reduction backward.
+    """`table[idx]` — plain XLA gather.
 
-    XLA's gather transpose is a scatter-add, which serializes badly on TPU
-    for many-to-few index patterns (N gaussians -> F faces).  The custom
-    backward sorts cotangents by index and reduces each segment as a
-    difference of cumulative sums — sort + gathers only, no scatter.
+    History: round 1 shipped a custom sorted-segment-reduction backward here
+    on the belief that TPU scatter-add serializes; measured on v5e with the
+    current toolchain the plain gather transpose (scatter-add) runs the
+    (1024x512, 9) cotangent in ~1 ms while the segment reduction took ~26 ms.
+    Keep this a plain gather so XLA owns the transpose.
     """
     return table[idx]
-
-
-def _gather_rows_fwd(table, idx):
-    return table[idx], (idx, table.shape)
-
-
-def _gather_rows_bwd(res, ct):
-    idx, table_shape = res
-    n_rows = table_shape[0]
-    row_shape = table_shape[1:]
-    flat_idx = idx.reshape(-1)
-    flat_ct = ct.reshape((flat_idx.shape[0],) + row_shape)
-    order = jnp.argsort(flat_idx)
-    sorted_idx = flat_idx[order]
-    sorted_ct = flat_ct[order]
-    cs = jnp.concatenate(
-        [jnp.zeros((1,) + row_shape, ct.dtype),
-         jnp.cumsum(sorted_ct, axis=0)], axis=0)
-    starts = jnp.searchsorted(
-        sorted_idx, jnp.arange(n_rows + 1, dtype=sorted_idx.dtype), side="left"
-    )
-    d_table = cs[starts[1:]] - cs[starts[:-1]]             # (F, *row_shape)
-    return d_table, None
-
-
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
@@ -128,8 +102,21 @@ def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
     tp = gd[:, 9:12]
     sp = gd[:, 12]
 
-    means = tp + sp[:, None] * jnp.einsum("nij,nj->ni", Rp, g.mu_local)
-    rot = Rp @ quat_to_matrix(g.quat_local)
+    mu = g.mu_local
+    means = tp + sp[:, None] * (
+        Rp[:, :, 0] * mu[:, 0:1] + Rp[:, :, 1] * mu[:, 1:2]
+        + Rp[:, :, 2] * mu[:, 2:3]
+    )
+    # unrolled (N,3,3)@(N,3,3): batched tiny matmuls pad terribly on the MXU
+    Q = quat_to_matrix(g.quat_local)
+    rot = jnp.stack([
+        jnp.stack([
+            Rp[:, i, 0] * Q[:, 0, j] + Rp[:, i, 1] * Q[:, 1, j]
+            + Rp[:, i, 2] * Q[:, 2, j]
+            for j in range(3)
+        ], axis=-1)
+        for i in range(3)
+    ], axis=-2)
     scales = sp[:, None] * jnp.exp(g.log_scale)
     opac = jax.nn.sigmoid(g.opacity_logit) * g.alive.astype(jnp.float32)
     colors = jax.nn.sigmoid(g.color)
@@ -137,20 +124,59 @@ def bind_to_mesh(g: GaussianAvatar, verts: jnp.ndarray, faces: jnp.ndarray):
 
 
 SH1_C = 0.4886025119  # sqrt(3 / (4*pi)) — degree-1 real SH constant
+# degree-2/3 real SH constants (the CUDA rasterizer's computeColorFromSH
+# table; our rest-coefficient layout matches sh_degree=3 = 15 coeffs)
+SH2_C = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH3_C = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+#: SH rest-coefficient count per degree (DC excluded)
+SH_DIM = {0: 0, 1: 3, 2: 8, 3: 15}
+
+
+def sh_basis(d: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Real SH basis values (rest only, no DC) for unit dirs (N, 3)."""
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    cols = [-SH1_C * y, SH1_C * z, -SH1_C * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        cols += [
+            SH2_C[0] * x * y, SH2_C[1] * y * z,
+            SH2_C[2] * (2.0 * zz - xx - yy),
+            SH2_C[3] * x * z, SH2_C[4] * (xx - yy),
+        ]
+    if degree >= 3:
+        xx, yy, zz = x * x, y * y, z * z
+        cols += [
+            SH3_C[0] * y * (3.0 * xx - yy),
+            SH3_C[1] * x * y * z,
+            SH3_C[2] * y * (4.0 * zz - xx - yy),
+            SH3_C[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH3_C[4] * x * (4.0 * zz - xx - yy),
+            SH3_C[5] * z * (xx - yy),
+            SH3_C[6] * x * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(cols, axis=1)
+
+
+def sh_degree_of(g: GaussianAvatar) -> int:
+    return {v: k for k, v in SH_DIM.items()}[g.sh.shape[1]]
 
 
 def eval_colors(g: GaussianAvatar, means: jnp.ndarray, cam_pos: jnp.ndarray):
-    """View-dependent color: sigmoid DC + degree-1 SH along the view dir.
+    """View-dependent color: sigmoid DC + SH rest along the view direction.
 
-    Matches the CUDA 3DGS convention of per-gaussian SH evaluated at the
-    gaussian center; degree-1 basis is (-y, z, -x) * SH1_C.  Zero `sh1`
-    reduces exactly to the DC-only color.
+    Matches the CUDA 3DGS convention (SH evaluated at each gaussian center
+    toward the camera; GaussianAvatars trains sh_degree 3, invoked at ref
+    train_ghost.py:227-243).  Zero `sh` reduces exactly to the DC color.
     """
     dc = jax.nn.sigmoid(g.color)                       # (N, 3)
     d = means - cam_pos[None, :]
     d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
-    basis = jnp.stack([-d[:, 1], d[:, 2], -d[:, 0]], axis=1) * SH1_C  # (N, 3)
-    view = jnp.einsum("nb,nbc->nc", basis, g.sh1)      # (N, 3)
+    basis = sh_basis(d, sh_degree_of(g))               # (N, S)
+    view = jnp.einsum("nb,nbc->nc", basis, g.sh)       # (N, 3)
     return jnp.clip(dc + view, 0.0, 1.0)
 
 
@@ -165,6 +191,7 @@ def init_gaussians_on_mesh(
     init_color: float = 0.5,
     init_scale: float = 0.5,
     seed: int = 0,
+    sh_degree: int = 3,
 ) -> GaussianAvatar:
     """One gaussian per triangle (GaussianAvatars' binding init), padded to
     a fixed capacity for in-jit densification."""
@@ -192,7 +219,7 @@ def init_gaussians_on_mesh(
         log_scale=jnp.asarray(log_scale),
         opacity_logit=jnp.asarray(opac),
         color=jnp.asarray(color),
-        sh1=jnp.zeros((capacity, 3, 3), jnp.float32),
+        sh=jnp.zeros((capacity, SH_DIM[sh_degree], 3), jnp.float32),
         alive=jnp.asarray(alive),
     )
 
@@ -208,6 +235,7 @@ def init_gaussians_from_points(
     capacity: int,
     init_opacity: float = 0.1,
     init_color: float = 0.5,
+    sh_degree: int = 3,
 ) -> GaussianAvatar:
     """Initialize gaussians from a point cloud (the points3d.ply contract).
 
@@ -245,7 +273,8 @@ def init_gaussians_from_points(
 
     g = init_gaussians_on_mesh(np.asarray(faces), capacity,
                                init_opacity=init_opacity,
-                               init_color=init_color)
+                               init_color=init_color,
+                               sh_degree=sh_degree)
     parent_full = np.asarray(g.parent_face).copy()
     mu_full = np.asarray(g.mu_local).copy()
     ls_full = np.asarray(g.log_scale).copy()

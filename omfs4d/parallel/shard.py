@@ -251,17 +251,28 @@ def avatar_loss_gaussian_sharded(
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 16,
     slice_capacity_factor: float = 2.0,
+    probe: jnp.ndarray | None = None,
+    lambda_dssim: float = 0.0,
+    return_aux: bool = False,
 ):
-    """L1 photometric loss of a mesh-bound avatar with the GAUSSIAN AXIS
+    """Photometric loss of a mesh-bound avatar with the GAUSSIAN AXIS
     sharded over the device mesh — the model-parallel training path.
 
     Everything per-gaussian (triangle binding, projection, depth-slice
     routing) runs on the owning shard; only slice-routed screen parameters
     cross devices (all_to_all), and gradients ride the same collective back
     to the owner.  Differentiate with jax.grad over the gaussian pytree;
-    combine with a per-shard optimizer for fully sharded training state.
+    combine with a per-shard optimizer for fully sharded training state
+    (parallel.sharded_trainer.ShardedAvatarTrainer).
+
+    `probe` ((N, 2), sharded like the gaussians) is added to each gaussian's
+    screen-space mean on its owner shard; its cotangent is the per-gaussian
+    densification pressure, riding the all_to_all back to the owner.
+    `lambda_dssim` > 0 mixes in D-SSIM on the assembled image (replicated
+    after the tile all_gather, so the metric itself needs no collective).
     """
     from omfs4d.models.gaussians import bind_to_mesh, eval_colors
+    from omfs4d.train.losses import dssim_loss
 
     n_dev = mesh.shape[axis]
     N = gaussians.capacity
@@ -278,19 +289,24 @@ def avatar_loss_gaussian_sharded(
     g_specs = type(gaussians)(
         parent_face=P(axis), mu_local=P(axis), quat_local=P(axis),
         log_scale=P(axis), opacity_logit=P(axis), color=P(axis),
-        sh1=P(axis), alive=P(axis),
+        sh=P(axis), alive=P(axis),
     )
+
+    if probe is None:
+        probe = jnp.zeros((N, 2), jnp.float32)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(g_specs, P(), P()),
-        out_specs=P(),
+        in_specs=(g_specs, P(), P(), P(axis)),
+        out_specs=(P(), P()) if return_aux else P(),
         check_vma=False,
     )
-    def _loss(g_local, verts_, gt_):
+    def _loss(g_local, verts_, gt_, probe_local):
         means, rot, scales, opac, _ = bind_to_mesh(g_local, verts_, faces)
         cols = eval_colors(g_local, means, cam_pos)
         proj = project_gaussians(camera, means, rot, scales)
+        proj = dict(proj)
+        proj["uv"] = proj["uv"] + probe_local
         live = proj["in_front"] & (opac > 1.0 / 255.0)
         opac_eff = jnp.where(live, opac, 0.0)
 
@@ -350,6 +366,14 @@ def avatar_loss_gaussian_sharded(
 
         img, a = assemble_tiles(color, alpha, width, height, tile)
         img = img + (1.0 - a)[..., None] * background
-        return jnp.mean(jnp.abs(img - gt_))
+        l1 = jnp.mean(jnp.abs(img - gt_))
+        if lambda_dssim > 0.0:
+            loss_val = ((1.0 - lambda_dssim) * l1
+                        + lambda_dssim * dssim_loss(img, gt_))
+        else:
+            loss_val = l1
+        if return_aux:
+            return loss_val, jax.lax.psum(binning.overflow, axis)
+        return loss_val
 
-    return _loss(gaussians, verts, gt_image)
+    return _loss(gaussians, verts, gt_image, probe)

@@ -60,8 +60,8 @@ def main(argv: list[str] | None = None):
     p = sub.add_parser("track", help="frames -> tracked dataset")
     _add_common(p)
     p.add_argument("--frames-dir", required=True)
-    p.add_argument("--landmarks", default="file",
-                   help="landmark source: file|synthetic|<plugin>")
+    p.add_argument("--landmarks", default="auto",
+                   help="landmark source: auto|file|neural|synthetic|<plugin>")
 
     p = sub.add_parser("train", help="dataset -> avatar model")
     _add_common(p)
@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None):
     p.add_argument("--lefort-mm", type=float, default=0.0)
     p.add_argument("--bsso-mm", type=float, default=0.0)
     p.add_argument("--output", default="final_prediction.mp4")
-    p.add_argument("--landmarks", default="file")
+    p.add_argument("--landmarks", default="auto")
     p.add_argument("--iterations", type=int, default=0)
 
     p = sub.add_parser("report", help="strict PSNR/SSIM validation report")

@@ -75,9 +75,17 @@ class Pipeline:
                 frames = np.stack([read_image(p) for p in frame_paths])
                 T, H, W = frames.shape[:3]
 
+                lmk_kw = dict(landmark_kwargs or {})
+                if landmark_method in ("neural", "auto"):
+                    # the self-trained detector needs the FLAME model to
+                    # synthesize its training set, and prefers the fast
+                    # rasterizer backend when one is configured
+                    lmk_kw.setdefault("model", self.model)
+                    lmk_kw.setdefault("backend", cfg.render.use_pallas)
+                    lmk_kw.setdefault("train_steps", cfg.track.detector_steps)
+                    lmk_kw.setdefault("image_size", cfg.track.detector_size)
                 lmk, valid = detect_landmarks(
-                    images_dir, method=landmark_method,
-                    **(landmark_kwargs or {}),
+                    images_dir, method=landmark_method, **lmk_kw,
                 )
                 tracker = FlameTracker(
                     self.model, cfg.track, camera, (W, H),

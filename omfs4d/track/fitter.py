@@ -49,8 +49,14 @@ STAGES = (
     "lmk_init_all",
     "rgb_init_texture",
     "rgb_init_all",
+    "rgb_init_offset",
+    "rgb_sequential_tracking",
     "global_optimization",
 )
+
+#: per-frame parameter keys (leading T axis); everything else is global
+FRAME_KEYS = ("expr", "rotation", "neck_pose", "jaw_pose", "eyes_pose",
+              "translation")
 
 
 class TrackerResult(NamedTuple):
@@ -71,7 +77,7 @@ def _texture_avatar(model: FlameModel, texture_logits: jnp.ndarray,
         .at[:, 2].set(jnp.log(scale * 0.2)),   # flat along the face normal
         opacity_logit=jnp.full((F,), inverse_sigmoid(opacity), jnp.float32),
         color=texture_logits,
-        sh1=jnp.zeros((F, 3, 3), jnp.float32),
+        sh=jnp.zeros((F, 3, 3), jnp.float32),
         alive=jnp.ones((F,), bool),
     )
 
@@ -255,6 +261,98 @@ class FlameTracker:
         log.info(f"stage {name}: {steps} steps, loss {float(loss):.5f}")
         return params
 
+    # ── sequential per-frame tracking (VHAP's rgb_sequential stage) ──
+    def _run_sequential(
+        self,
+        params: dict,
+        data: dict,
+        steps_per_frame: int,
+        trainable: tuple[str, ...] = ("expr", "rotation", "neck_pose",
+                                      "jaw_pose", "eyes_pose", "translation"),
+        lmk_w: float = 0.3,
+        rgb_w: float = 1.0,
+        events: EventLogger | None = None,
+        lr: float | None = None,
+    ) -> dict:
+        """Per-frame warm-start sweep (ref stage `rgb_sequential_tracking`,
+        app.py:1283-1292).
+
+        VHAP loops frames in Python, optimizing each frame initialized from
+        the previous frame's solution.  Here the whole sweep is ONE jitted
+        `lax.scan` over the T axis whose carry is the previous frame's
+        per-frame parameter row; each scan step runs `steps_per_frame` Adam
+        updates on that row (a `fori_loop`).  Global params (shape, texture,
+        static offsets) stay frozen.  This is what makes long videos with
+        large motion converge: frame t starts at frame t-1's pose instead of
+        at the batched average.
+        """
+        events = events or EventLogger()
+        trainable = tuple(k for k in trainable if k in FRAME_KEYS)
+        lr = lr or self.cfg.lr
+        use_rgb = rgb_w > 0 and data.get("frames") is not None
+        T = params["expr"].shape[0]
+
+        frozen = {k: v for k, v in params.items() if k not in FRAME_KEYS}
+        rows = {k: params[k] for k in FRAME_KEYS}
+
+        opt = optax.adam(lr)
+
+        cache_key = ("sequential", trainable, lmk_w > 0, use_rgb,
+                     steps_per_frame, float(lr))
+        if cache_key not in self._step_cache:
+
+            def row_loss(row_opt, row_fix, lmk_t, valid_t, frame_t):
+                row = {**row_fix, **row_opt}
+                p1 = {**frozen, **{k: v[None] for k, v in row.items()}}
+                loss = jnp.float32(0.0)
+                if lmk_w > 0:
+                    loss = loss + lmk_w * self._landmark_loss(
+                        p1, lmk_t[None], valid_t[None])
+                if use_rgb:
+                    loss = loss + rgb_w * self._photometric_loss(
+                        p1, frame_t[None], jnp.zeros((1,), jnp.int32))
+                return loss
+
+            def fit_frame(carry_opt, xs):
+                lmk_t, valid_t, frame_t, row_cur = xs
+                # warm start trainable keys from the previous frame's fit;
+                # fixed keys keep this frame's own current values
+                row_fix = {k: row_cur[k] for k in FRAME_KEYS
+                           if k not in trainable}
+                opt_state = opt.init(carry_opt)
+
+                def body(_, st):
+                    ro, os_ = st
+                    loss, grads = jax.value_and_grad(row_loss)(
+                        ro, row_fix, lmk_t, valid_t, frame_t)
+                    updates, os_ = opt.update(grads, os_, ro)
+                    return optax.apply_updates(ro, updates), os_
+
+                row_opt, _ = jax.lax.fori_loop(
+                    0, steps_per_frame, body, (carry_opt, opt_state))
+                return row_opt, {**row_fix, **row_opt}
+
+            def sweep(rows, lmk, valid, frames):
+                init = {k: rows[k][0] for k in trainable}
+                _, stacked = jax.lax.scan(
+                    fit_frame, init, (lmk, valid, frames, rows))
+                return stacked
+
+            self._step_cache[cache_key] = jax.jit(sweep)
+
+        frames_in = (data["frames"] if use_rgb
+                     else jnp.zeros((T, 1, 1, 3), jnp.uint8))
+        new_rows = self._step_cache[cache_key](
+            rows, data["landmarks"], data["valid"], frames_in)
+        out = {**frozen, **new_rows}
+        final = float(self._landmark_loss(out, data["landmarks"],
+                                          data["valid"]))
+        events.emit("track_stage", stage="rgb_sequential_tracking",
+                    steps=steps_per_frame * T, loss=final)
+        log.info(f"stage rgb_sequential_tracking: {steps_per_frame}/frame "
+                 f"x {T} frames, lmk loss {final:.5f}")
+        return out
+
     # ── full schedule ────────────────────────────────────────
     def fit(
         self,
@@ -299,10 +397,22 @@ class FlameTracker:
                 "rgb_init_all", p, cfg.steps_rgb_init_all,
                 tuple(trainable), 0.3, 1.0, data, events,
             )
+            # dedicated static-offset stage (ref: `rgb_init_offset`,
+            # app.py:1283; disabled via --model.no-use-static-offset,
+            # preprocess_video.py:173)
+            if cfg.use_static_offset and cfg.steps_rgb_init_offset > 0:
+                p = self._run_stage(
+                    "rgb_init_offset", p, cfg.steps_rgb_init_offset,
+                    ("static_offset", "texture"), 0.1, 1.0, data, events,
+                )
+            # per-frame warm-start sweep (ref: `rgb_sequential_tracking`)
+            if cfg.steps_rgb_sequential > 0 and T > 1:
+                p = self._run_sequential(
+                    p, data, cfg.steps_rgb_sequential, events=events,
+                )
             for epoch in range(cfg.epochs_global):
                 p = self._run_stage(
-                    f"global_optimization_{epoch}", p,
-                    max(cfg.steps_rgb_sequential, 1) * 8,
+                    f"global_optimization_{epoch}", p, cfg.steps_global,
                     tuple(trainable), 0.3, 1.0, data, events,
                 )
 

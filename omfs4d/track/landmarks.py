@@ -72,6 +72,110 @@ def _synthetic(source, model=None, params=None, cameras=None, **kw):
     return out, np.ones(T, bool)
 
 
+def _load_frames(source) -> np.ndarray:
+    """images dir | (T,H,W,3) array -> uint8 frame stack."""
+    if isinstance(source, np.ndarray):
+        return source
+    from omfs4d.io.video import read_image
+
+    p = Path(source)
+    images_dir = p / "images" if (p / "images").is_dir() else p
+    paths = sorted(images_dir.glob("*.png")) + sorted(images_dir.glob("*.jpg"))
+    if not paths:
+        raise FileNotFoundError(f"no frames under {images_dir}")
+    return np.stack([read_image(q) for q in paths])
+
+
+@register_detector("neural")
+def _neural(source, model=None, weights=None, image_size: int = 96,
+            train_steps: int = 1500, backend: str = "never", **kw):
+    """First-party self-trained CNN regressor (omfs4d.track.detector).
+
+    Trains on domain-randomized synthetic FLAME renders on first use and
+    caches the weights; afterwards detection is a single jitted forward.
+    """
+    from omfs4d.track import detector
+
+    if model is None:
+        raise ValueError("neural detector needs model= (FlameModel)")
+    params = detector.get_or_train_detector(
+        model, weights=weights, image_size=image_size, steps=train_steps,
+        backend=backend,
+    )
+    return detector.detect(params, _load_frames(source), image_size=image_size)
+
+
+@register_detector("mediapipe")
+def _mediapipe(source, **kw):
+    """Adapter for MediaPipe FaceMesh (478 -> 68 map), when importable.
+
+    Mirrors the reference's detection loop (ref: flame_fitter.py:200-244).
+    """
+    try:
+        import mediapipe as mp
+    except ImportError as e:
+        raise RuntimeError(
+            "mediapipe is not installed in this image; use method='neural' "
+            "or provide landmarks.npz (method='file')"
+        ) from e
+
+    frames = _load_frames(source)
+    T, H, W = frames.shape[:3]
+    out = np.zeros((T, len(MEDIAPIPE_TO_68), 2), np.float32)
+    valid = np.zeros((T,), bool)
+    with mp.solutions.face_mesh.FaceMesh(
+        static_image_mode=False, refine_landmarks=True,
+        max_num_faces=1, min_detection_confidence=0.5,
+    ) as mesh:
+        for i in range(T):
+            res = mesh.process(frames[i])
+            if not res.multi_face_landmarks:
+                continue
+            pts = res.multi_face_landmarks[0].landmark
+            out[i] = [(pts[j].x * W, pts[j].y * H) for j in MEDIAPIPE_TO_68]
+            valid[i] = True
+    return out, valid
+
+
+@register_detector("face_alignment")
+def _face_alignment(source, **kw):
+    """Adapter for the FAN 68-pt detector (VHAP's default), when importable.
+
+    Ref invocation: preprocess_video.py:163 (--data.landmark-source).
+    """
+    try:
+        import face_alignment
+    except ImportError as e:
+        raise RuntimeError(
+            "face_alignment is not installed in this image; use "
+            "method='neural' or provide landmarks.npz (method='file')"
+        ) from e
+
+    frames = _load_frames(source)
+    fa = face_alignment.FaceAlignment(
+        face_alignment.LandmarksType.TWO_D, flip_input=False, device="cpu")
+    T = len(frames)
+    out = np.zeros((T, 68, 2), np.float32)
+    valid = np.zeros((T,), bool)
+    for i in range(T):
+        preds = fa.get_landmarks(frames[i])
+        if preds:
+            out[i] = preds[0][:, :2]
+            valid[i] = True
+    return out, valid
+
+
+@register_detector("auto")
+def _auto(source, **kw):
+    """file if landmarks.npz exists next to the frames, else neural."""
+    if not isinstance(source, np.ndarray):
+        p = Path(source)
+        for cand in (p / "landmarks.npz", p.parent / "landmarks.npz"):
+            if cand.exists():
+                return _from_file(cand)
+    return _neural(source, **kw)
+
+
 def detect_landmarks(source, method: str = "file", **kw):
     """Run a registered detector; returns ((T, L, 2) float32, (T,) valid)."""
     if method not in _DETECTORS:

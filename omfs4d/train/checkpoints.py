@@ -75,9 +75,11 @@ def export_point_cloud(path: str | Path, gaussians: GaussianAvatar):
         "color_g": g.color[alive, 1],
         "color_b": g.color[alive, 2],
     }
-    sh = g.sh1[alive].reshape(-1, 9)
-    for i in range(9):
-        props[f"sh1_{i}"] = sh[:, i]
+    # SH rest coefficients as f_rest_i (the CUDA 3DGS PLY field convention;
+    # degree 3 -> 45 fields, matching GaussianAvatars' sh_degree=3 default)
+    sh = g.sh[alive].reshape(-1, g.sh.shape[1] * 3)
+    for i in range(sh.shape[1]):
+        props[f"f_rest_{i}"] = sh[:, i]
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     save_ply(path, props)
 
@@ -99,11 +101,15 @@ def load_point_cloud(path: str | Path, capacity: int | None = None) -> GaussianA
     ls = np.stack([v["log_scale_x"], v["log_scale_y"], v["log_scale_z"]], 1).astype(np.float32)
     col = np.stack([v["color_r"], v["color_g"], v["color_b"]], 1).astype(np.float32)
     names = v.dtype.names
-    if "sh1_0" in names:
+    n_rest = sum(1 for name in names if name.startswith("f_rest_"))
+    if n_rest:
+        sh = np.stack([v[f"f_rest_{i}"] for i in range(n_rest)], 1)
+        sh = sh.astype(np.float32).reshape(-1, n_rest // 3, 3)
+    elif "sh1_0" in names:   # round-1 checkpoints
         sh = np.stack([v[f"sh1_{i}"] for i in range(9)], 1).astype(np.float32)
         sh = sh.reshape(-1, 3, 3)
     else:
-        sh = np.zeros((n, 3, 3), np.float32)
+        sh = np.zeros((n, 15, 3), np.float32)
     alive = np.zeros(cap, bool)
     alive[:n] = True
     quat_pad = pad(quat)
@@ -115,6 +121,6 @@ def load_point_cloud(path: str | Path, capacity: int | None = None) -> GaussianA
         log_scale=jnp.asarray(pad(ls)),
         opacity_logit=jnp.asarray(pad(v["opacity_logit"].astype(np.float32))),
         color=jnp.asarray(pad(col)),
-        sh1=jnp.asarray(pad(sh)),
+        sh=jnp.asarray(pad(sh)),
         alive=jnp.asarray(alive),
     )

@@ -53,7 +53,7 @@ class TrainState(NamedTuple):
 
 
 FLOAT_FIELDS = ("mu_local", "quat_local", "log_scale", "opacity_logit",
-                "color", "sh1")
+                "color", "sh")
 
 
 def float_fields(g: GaussianAvatar) -> dict:
@@ -72,7 +72,7 @@ def _param_labels() -> dict:
         "log_scale": "scale",
         "opacity_logit": "opac",
         "color": "color",
-        "sh1": "sh",
+        "sh": "sh",
     }
 
 
@@ -118,6 +118,63 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
                                          binning, width, height, render_cfg["tile"])
     img = img + (1.0 - alpha)[..., None] * bg
     return img, (binning.overflow, binning.window_clipped)
+
+
+def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
+                         grad_count: jnp.ndarray, key: jnp.ndarray,
+                         max_new: int, cfg: TrainConfig) -> GaussianAvatar:
+    """Fixed-capacity densify/clone/split/prune on raw gaussian arrays.
+
+    Pure function of one capacity block, so it runs either globally
+    (AvatarTrainer) or per-shard inside `shard_map` over the gaussian axis
+    (parallel.sharded_trainer — each shard densifies into its own dead
+    slots, no collectives)."""
+    grad_avg = grad_accum / jnp.maximum(grad_count, 1.0)
+    candidate = g.alive & (grad_avg > cfg.densify_grad_threshold)
+    scores = jnp.where(candidate, grad_avg, -1.0)
+    top_scores, src = jax.lax.top_k(scores, max_new)
+
+    # dead slots first (stable argsort on alive: False < True)
+    slot_order = jnp.argsort(g.alive.astype(jnp.int32), stable=True)
+    slots = slot_order[:max_new]
+    ok = (top_scores > 0) & (~g.alive[slots])
+
+    max_local_scale = jnp.exp(g.log_scale[src]).max(axis=-1)
+    is_split = max_local_scale > 1.0
+
+    noise = jax.random.normal(key, (max_new, 3)) * jnp.exp(g.log_scale[src])
+    child_mu = g.mu_local[src] + noise
+    shrink = jnp.where(is_split[:, None], jnp.log(1.6), 0.0)
+    child_ls = g.log_scale[src] - shrink
+
+    def put(arr, vals):
+        cur = arr[slots]
+        sel = ok.reshape((-1,) + (1,) * (vals.ndim - 1))
+        return arr.at[slots].set(jnp.where(sel, vals, cur))
+
+    g2 = GaussianAvatar(
+        parent_face=put(g.parent_face, g.parent_face[src]),
+        mu_local=put(g.mu_local, child_mu),
+        quat_local=put(g.quat_local, g.quat_local[src]),
+        log_scale=put(g.log_scale, child_ls),
+        opacity_logit=put(g.opacity_logit, g.opacity_logit[src]),
+        color=put(g.color, g.color[src]),
+        sh=put(g.sh, g.sh[src]),
+        alive=g.alive.at[slots].set(ok | g.alive[slots]),
+    )
+    # shrink split parents
+    parent_shrunk = g2.log_scale.at[src].add(
+        -jnp.where(ok & is_split, jnp.log(1.6), 0.0)[:, None]
+    )
+    g2 = g2._replace(log_scale=parent_shrunk)
+
+    # prune transparent and oversized gaussians (3DGS prunes both)
+    alive = (
+        g2.alive
+        & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
+        & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
+    )
+    return g2._replace(alive=alive)
 
 
 class AvatarTrainer:
@@ -182,11 +239,13 @@ class AvatarTrainer:
         if points is not None and canonical_verts is not None:
             from omfs4d.models.gaussians import init_gaussians_from_points
             g = init_gaussians_from_points(points, canonical_verts,
-                                           np.asarray(self.faces), capacity)
+                                           np.asarray(self.faces), capacity,
+                                           sh_degree=self.cfg.sh_degree)
         else:
             g = init_gaussians_on_mesh(
                 np.asarray(self.faces), capacity,
-                seed=seed if seed is not None else self.cfg.seed
+                seed=seed if seed is not None else self.cfg.seed,
+                sh_degree=self.cfg.sh_degree,
             )
         return TrainState(
             gaussians=g,
@@ -295,57 +354,9 @@ class AvatarTrainer:
 
     # ── densify / prune (jit, fixed capacity) ────────────────
     def _densify_prune(self, state: TrainState, key: jnp.ndarray, max_new: int):
-        cfg = self.cfg
-        g = state.gaussians
-        N = g.capacity
-
-        grad_avg = state.grad_accum / jnp.maximum(state.grad_count, 1.0)
-        candidate = g.alive & (grad_avg > cfg.densify_grad_threshold)
-        scores = jnp.where(candidate, grad_avg, -1.0)
-        top_scores, src = jax.lax.top_k(scores, max_new)
-
-        # dead slots first (stable argsort on alive: False < True)
-        slot_order = jnp.argsort(g.alive.astype(jnp.int32), stable=True)
-        slots = slot_order[:max_new]
-        ok = (top_scores > 0) & (~g.alive[slots])
-
-        max_local_scale = jnp.exp(g.log_scale[src]).max(axis=-1)
-        is_split = max_local_scale > 1.0
-
-        noise = jax.random.normal(key, (max_new, 3)) * jnp.exp(g.log_scale[src])
-        child_mu = g.mu_local[src] + noise
-        shrink = jnp.where(is_split[:, None], jnp.log(1.6), 0.0)
-        child_ls = g.log_scale[src] - shrink
-
-        def put(arr, vals):
-            cur = arr[slots]
-            sel = ok.reshape((-1,) + (1,) * (vals.ndim - 1))
-            return arr.at[slots].set(jnp.where(sel, vals, cur))
-
-        g2 = GaussianAvatar(
-            parent_face=put(g.parent_face, g.parent_face[src]),
-            mu_local=put(g.mu_local, child_mu),
-            quat_local=put(g.quat_local, g.quat_local[src]),
-            log_scale=put(g.log_scale, child_ls),
-            opacity_logit=put(g.opacity_logit, g.opacity_logit[src]),
-            color=put(g.color, g.color[src]),
-            sh1=put(g.sh1, g.sh1[src]),
-            alive=g.alive.at[slots].set(ok | g.alive[slots]),
-        )
-        # shrink split parents
-        parent_shrunk = g2.log_scale.at[src].add(
-            -jnp.where(ok & is_split, jnp.log(1.6), 0.0)[:, None]
-        )
-        g2 = g2._replace(log_scale=parent_shrunk)
-
-        # prune transparent and oversized gaussians (3DGS prunes both)
-        alive = (
-            g2.alive
-            & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
-            & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
-        )
-        g2 = g2._replace(alive=alive)
-
+        g2 = densify_prune_arrays(state.gaussians, state.grad_accum,
+                                  state.grad_count, key, max_new, self.cfg)
+        N = state.gaussians.capacity
         return TrainState(
             gaussians=g2,
             opt_state=self.optimizer.init(float_fields(g2)),

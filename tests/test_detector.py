@@ -1,0 +1,175 @@
+"""Self-trained neural landmark detector + detector->tracker integration.
+
+The reference relies on external GPU detectors (MediaPipe at
+flame_fitter.py:200-244, face-alignment via VHAP at preprocess_video.py:163);
+here the detector is first-party and self-supervised on synthetic FLAME
+renders, so the full video->dataset path needs no landmark files.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omfs4d.models.assets import synthetic_flame_asset
+from omfs4d.models.flame import FlameModel
+from omfs4d.track import detector as det
+
+SIZE = 64
+STEPS = 160
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FlameModel.from_asset(synthetic_flame_asset(n_vertices=700))
+
+
+@pytest.fixture(scope="module")
+def trained(model):
+    params = det.train_detector(model, steps=STEPS, batch_size=16,
+                                image_size=SIZE, log_every=0)
+    return params
+
+
+def _heldout_px_error(model, params, key=123):
+    sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
+    imgs, lbl = sampler.batch(jax.random.PRNGKey(key), 16)
+    pred = det.net_apply(params, imgs)
+    return float(jnp.mean(jnp.linalg.norm((pred - lbl) * SIZE, axis=-1)))
+
+
+class TestSampler:
+    def test_batch_shapes_and_ranges(self, model):
+        sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
+        imgs, lbl = sampler.batch(jax.random.PRNGKey(0), 4)
+        assert imgs.shape == (4, SIZE, SIZE, 3)
+        assert lbl.shape == (4, model.lmk_faces_idx.shape[0], 2)
+        assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+        # landmarks of a centered head stay mostly in frame
+        assert 0.0 < float(lbl.mean()) < 1.0
+
+    def test_batches_differ_by_key(self, model):
+        sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
+        a, _ = sampler.batch(jax.random.PRNGKey(1), 2)
+        b, _ = sampler.batch(jax.random.PRNGKey(2), 2)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestTraining:
+    def test_training_beats_untrained(self, model, trained):
+        p0 = det.init_net(jax.random.PRNGKey(0),
+                          model.lmk_faces_idx.shape[0], SIZE)
+        e_untrained = _heldout_px_error(model, p0)
+        e_trained = _heldout_px_error(model, trained)
+        assert e_trained < 0.6 * e_untrained
+        assert e_trained < 6.0, f"held-out error {e_trained:.2f}px too high"
+
+    def test_save_load_roundtrip(self, model, trained, tmp_path):
+        det.save_detector(tmp_path / "net.npz", trained)
+        loaded = det.load_detector(tmp_path / "net.npz")
+        assert _heldout_px_error(model, loaded) == pytest.approx(
+            _heldout_px_error(model, trained))
+
+    def test_detect_on_frame_stack(self, model, trained):
+        # detect() must infer the train-time input size from the weights
+        sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
+        imgs, lbl = sampler.batch(jax.random.PRNGKey(7), 4)
+        frames = (np.asarray(imgs) * 255).astype(np.uint8)
+        lmk, valid = det.detect(trained, frames)
+        assert lmk.shape == (4, model.lmk_faces_idx.shape[0], 2)
+        assert valid.all()
+        # the uint8 wrapper must agree with a direct float forward up to
+        # quantization noise (it infers input size from the weights)
+        direct = np.asarray(det.net_apply(trained, imgs)) * SIZE
+        assert np.abs(lmk - direct).max() < 1.5
+
+
+class TestRegistry:
+    def test_auto_prefers_landmark_file(self, tmp_path):
+        from omfs4d.io.video import write_image
+        from omfs4d.track.landmarks import detect_landmarks, save_landmarks
+
+        d = tmp_path / "images"
+        d.mkdir()
+        write_image(d / "00000.png", np.zeros((8, 8, 3), np.uint8))
+        gt = np.full((1, 68, 2), 3.0, np.float32)
+        save_landmarks(d / "landmarks.npz", gt)
+        lmk, valid = detect_landmarks(d, method="auto")
+        np.testing.assert_allclose(lmk, gt)
+
+    def test_neural_without_model_raises(self, tmp_path):
+        from omfs4d.track.landmarks import detect_landmarks
+
+        with pytest.raises(ValueError, match="model"):
+            detect_landmarks(np.zeros((1, 8, 8, 3), np.uint8), method="neural")
+
+    def test_mediapipe_adapter_gates_cleanly(self):
+        from omfs4d.track.landmarks import detect_landmarks
+
+        try:
+            import mediapipe  # noqa: F401
+            pytest.skip("mediapipe present; adapter would run for real")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError, match="mediapipe"):
+            detect_landmarks(np.zeros((1, 8, 8, 3), np.uint8),
+                             method="mediapipe")
+
+
+class TestDetectorToTracker:
+    def test_detected_landmarks_drive_tracking(self, model, trained):
+        """End-to-end: synthetic capture -> neural detection -> FLAME fit."""
+        from omfs4d.core.config import TrackConfig
+        from omfs4d.io.synthetic import textured_gt_avatar
+        from omfs4d.models.flame import flame_forward, flame_landmarks
+        from omfs4d.ops.camera import look_at_camera, project_points
+        from omfs4d.render.rasterize import render_avatar_frame
+        from omfs4d.track.fitter import FlameTracker
+
+        T = 6
+        cam = look_at_camera(eye=(0, 0, 0.55), target=(0, 0, 0),
+                             fx=1.6 * SIZE, width=SIZE, height=SIZE)
+        gt_params = {
+            "shape": jnp.zeros(model.shapedirs_shape.shape[-1]),
+            "expr": jnp.zeros((T, model.shapedirs_expr.shape[-1])),
+            "jaw_pose": jnp.stack([
+                jnp.linspace(0.0, 0.25, T),
+                jnp.zeros(T), jnp.zeros(T)], axis=1),
+            "rotation": jnp.stack([
+                jnp.zeros(T),
+                jnp.linspace(-0.25, 0.25, T),
+                jnp.zeros(T)], axis=1),
+        }
+        verts = flame_forward(model, gt_params)
+        avatar = textured_gt_avatar(model)
+        frames = np.stack([
+            (np.clip(np.asarray(render_avatar_frame(
+                avatar, verts[i], model.faces, cam, SIZE, SIZE,
+                background=jnp.full(3, 0.8))[0]), 0, 1) * 255).astype(np.uint8)
+            for i in range(T)
+        ])
+
+        lmk, valid = det.detect(trained, frames)
+        cfg = TrackConfig(n_shape=10, n_expr=10, photometric=False,
+                          steps_lmk_init_rigid=80, steps_lmk_init_all=120)
+        tracker = FlameTracker(model, cfg, cam, (SIZE, SIZE),
+                               use_pallas="never")
+        result = tracker.fit(lmk, valid)
+
+        # the fitted FLAME's landmarks should land near the GT projections
+        fit_verts = flame_forward(model, {
+            k: jnp.asarray(v) for k, v in result.params.items()
+            if k != "dynamic_offset"})
+        fit_uv = np.stack([
+            np.asarray(project_points(cam, flame_landmarks(
+                model, fit_verts[i:i + 1])[0])[0]) for i in range(T)
+        ])
+        gt_uv = np.stack([
+            np.asarray(project_points(cam, flame_landmarks(
+                model, verts[i:i + 1])[0])[0]) for i in range(T)
+        ])
+        det_err = np.linalg.norm(lmk - gt_uv, axis=-1).mean()
+        err = np.linalg.norm(fit_uv - gt_uv, axis=-1).mean()
+        assert err < 4.0, f"tracked landmarks {err:.2f}px from GT"
+        # the FLAME prior should denoise: fit at least as good as raw detection
+        assert err < det_err + 0.5, (err, det_err)

@@ -127,7 +127,9 @@ def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
     cfg.track.steps_lmk_init_all = 25
     cfg.track.steps_rgb_init_texture = 6
     cfg.track.steps_rgb_init_all = 6
+    cfg.track.steps_rgb_init_offset = 2
     cfg.track.steps_rgb_sequential = 1
+    cfg.track.steps_global = 8
     cfg.track.epochs_global = 1
     cfg.render.max_per_tile = 128
     cfg.render.use_pallas = "never"

@@ -121,7 +121,7 @@ def test_photometric_stage_improves_fit(tmp_path):
         n_shape=10, n_expr=10,
         steps_lmk_init_rigid=40, steps_lmk_init_all=40,
         steps_rgb_init_texture=30, steps_rgb_init_all=25,
-        steps_rgb_sequential=2, epochs_global=1,
+        steps_rgb_sequential=2, steps_global=16, epochs_global=1,
         photometric=True, use_static_offset=False, lr=0.015,
     )
     tracker = FlameTracker(model, cfg, cam, (S, S), max_per_tile=128,
@@ -153,3 +153,61 @@ def test_photometric_stage_improves_fit(tmp_path):
     assert loss_after < loss_before * 0.7, (loss_before, loss_after)
     # texture learned: not all gray
     assert result.texture.std() > 0.05
+
+
+def test_sequential_tracking_long_motion():
+    """The per-frame warm-start sweep (VHAP's rgb_sequential_tracking,
+    ref app.py:1283-1292) on a large-motion sequence: photometric-only
+    tracking must recover a 1.2 rad yaw sweep; the sequential stage's
+    carried init must do at least as well as batched steps of equal budget
+    from a cold start."""
+    import jax
+    from omfs4d.core.logging import EventLogger
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    S, Tf = 48, 6
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=500))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.5 * S,
+                         width=S, height=S)
+    gt_rot = np.zeros((Tf, 3), np.float32)
+    gt_rot[:, 1] = np.linspace(0, 1.2, Tf)
+    gt = {"shape": jnp.zeros(10), "expr": jnp.zeros((Tf, 10)),
+          "rotation": jnp.asarray(gt_rot)}
+    avatar = textured_gt_avatar(model)
+    verts = flame_forward(model, gt)
+    frames = np.stack([
+        np.clip(np.asarray(render_avatar_frame(
+            avatar, verts[i], model.faces, cam, S, S, backend="never",
+            max_per_tile=128)[0]), 0, 1) * 255
+        for i in range(Tf)
+    ]).astype(np.uint8)
+
+    cfg = TrackConfig(n_shape=10, n_expr=10, photometric=True,
+                      use_static_offset=False, lr=0.02)
+    tracker = FlameTracker(model, cfg, cam, (S, S), max_per_tile=128,
+                           use_pallas="never")
+    gt_cols = np.asarray(avatar.color)
+    data = {
+        "landmarks": jnp.zeros((Tf, model.lmk_faces_idx.shape[0], 2)),
+        "valid": jnp.zeros(Tf, bool),
+        "frames": jnp.asarray(frames),
+    }
+    ev = EventLogger()
+    spf = 25
+
+    def fresh():
+        p = tracker.init_params(Tf)
+        p["texture"] = jnp.asarray(gt_cols)
+        return p
+
+    pb = tracker._run_stage("batched", fresh(), spf * Tf, ("rotation",),
+                            0.0, 1.0, data, ev, rgb_batch=3)
+    err_batched = float(np.abs(np.asarray(pb["rotation"]) - gt_rot).max())
+
+    ps = tracker._run_sequential(fresh(), data, spf, trainable=("rotation",),
+                                 lmk_w=0.0, rgb_w=1.0, events=ev, lr=0.02)
+    err_seq = float(np.abs(np.asarray(ps["rotation"]) - gt_rot).max())
+
+    assert err_seq < 0.15, f"sequential stage failed to track: {err_seq:.3f}"
+    assert err_seq <= err_batched + 0.02, (err_seq, err_batched)

@@ -180,12 +180,13 @@ class TestOrbaxCheckpoint:
 
 
 def test_sh_view_dependence(scene):
-    """Degree-1 SH makes color vary with view direction; zero SH is exact
-    DC-only behavior."""
+    """SH rest coefficients make color vary with view direction; zero SH is
+    exact DC-only behavior (any degree)."""
     from omfs4d.models.gaussians import bind_to_mesh, eval_colors
     model, cam, verts, img = scene
     from omfs4d.models.gaussians import init_gaussians_on_mesh
-    g = init_gaussians_on_mesh(np.asarray(model.faces), 256)
+    g = init_gaussians_on_mesh(np.asarray(model.faces), 256, sh_degree=3)
+    assert g.sh.shape[1:] == (15, 3)
     means, *_ = bind_to_mesh(g, jnp.asarray(verts), model.faces)
 
     # zero SH == sigmoid(DC)
@@ -193,11 +194,55 @@ def test_sh_view_dependence(scene):
     np.testing.assert_allclose(np.asarray(c0),
                                np.asarray(jax.nn.sigmoid(g.color)), atol=1e-6)
 
-    # nonzero SH varies with view
-    g2 = g._replace(sh1=g.sh1.at[:, 2, 0].set(0.5))   # -x basis on red
+    # nonzero degree-1 coeff varies with view
+    g2 = g._replace(sh=g.sh.at[:, 2, 0].set(0.5))   # -x basis on red
     ca = eval_colors(g2, means, jnp.array([1.0, 0.0, 0.0]))
     cb = eval_colors(g2, means, jnp.array([-1.0, 0.0, 0.0]))
     assert np.abs(np.asarray(ca) - np.asarray(cb)).max() > 0.05
+
+
+def test_sh3_basis_and_roundtrip(scene, tmp_path):
+    """Degree-3 basis matches the CUDA computeColorFromSH table on probe
+    directions, and SH coefficients survive densify + PLY checkpoint."""
+    from omfs4d.models.gaussians import (eval_colors, init_gaussians_on_mesh,
+                                         sh_basis)
+    model, cam, verts, img = scene
+
+    # basis spot checks: +z direction zeroes all azimuthal terms
+    b = np.asarray(sh_basis(jnp.array([[0.0, 0.0, 1.0]]), 3))[0]
+    assert b.shape == (15,)
+    np.testing.assert_allclose(b[0], 0.0, atol=1e-7)    # -C1*y
+    np.testing.assert_allclose(b[1], 0.4886025119, rtol=1e-6)
+    np.testing.assert_allclose(b[5], 0.31539156525 * 2, rtol=1e-6)  # zonal l=2
+    np.testing.assert_allclose(b[11], 0.3731763326 * 2, rtol=1e-6)  # zonal l=3
+    # degree-2/3 terms flip sign under z -> -z for odd-l zonal terms
+    b2 = np.asarray(sh_basis(jnp.array([[0.0, 0.0, -1.0]]), 3))[0]
+    np.testing.assert_allclose(b2[5], b[5], rtol=1e-6)
+    np.testing.assert_allclose(b2[11], -b[11], rtol=1e-6)
+
+    # densify + checkpoint roundtrip preserves SH
+    from omfs4d.train.checkpoints import export_point_cloud, load_point_cloud
+    cfg = TrainConfig(iterations=2, densify_interval=1, densify_from=0,
+                      opacity_reset_interval=0, max_gaussians=512, sh_degree=3)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, use_pallas="never")
+    state = trainer.init_state(capacity=512)
+    g = state.gaussians._replace(
+        sh=state.gaussians.sh.at[:, :, :].set(0.125))
+    state = state._replace(gaussians=g,
+                           opt_state=trainer.optimizer.init(
+                               {k: getattr(g, k) for k in
+                                ("mu_local", "quat_local", "log_scale",
+                                 "opacity_logit", "color", "sh")}))
+    state = trainer._densify_fn(state, jax.random.PRNGKey(0), 16)
+    ply = tmp_path / "pc.ply"
+    export_point_cloud(ply, state.gaussians)
+    loaded = load_point_cloud(ply, capacity=512)
+    assert loaded.sh.shape[1:] == (15, 3)
+    alive = np.asarray(state.gaussians.alive)
+    np.testing.assert_allclose(np.asarray(loaded.sh)[:alive.sum()],
+                               np.asarray(state.gaussians.sh)[alive],
+                               rtol=1e-6)
 
 
 def test_sh_gradients_flow(scene):
@@ -208,10 +253,10 @@ def test_sh_gradients_flow(scene):
                             max_per_tile=64, use_pallas="never")
     state = trainer.init_state(capacity=512)
     data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
-    s0 = np.asarray(state.gaussians.sh1).copy()   # step donates the state
+    s0 = np.asarray(state.gaussians.sh).copy()   # step donates the state
     for _ in range(3):
         state, m = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
-    assert np.abs(np.asarray(state.gaussians.sh1) - s0).max() > 0
+    assert np.abs(np.asarray(state.gaussians.sh) - s0).max() > 0
 
 
 def test_flame_co_optimization(scene):
