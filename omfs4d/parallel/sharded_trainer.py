@@ -1,0 +1,231 @@
+"""Model-parallel avatar training: gaussians, optimizer state, and
+densification all sharded over the `gauss` mesh axis.
+
+SURVEY.md §2.3's model-parallel path, completed: round 1 proved exact
+loss/grad parity for `avatar_loss_gaussian_sharded`; this trainer puts the
+*whole training state* behind `P("gauss")` — the Adam moments live on the
+owning shard (optax update is elementwise, so it needs no collectives),
+and densify/clone/split/prune runs per-shard inside `shard_map` (each
+shard clones its own high-pressure gaussians into its own dead slots, no
+cross-device traffic).  Only the depth-slice all_to_all + tile all_gather
+inside the loss touch the interconnect, exactly as in the loss-only path.
+
+There is no reference counterpart (the CUDA stack is single-GPU,
+ref train_ghost.py); scaling the gaussian axis across chips is what lets
+avatar capacity grow past one chip's HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from omfs4d.core.config import TrainConfig
+from omfs4d.core.logging import get_logger
+from omfs4d.models.gaussians import GaussianAvatar, init_gaussians_on_mesh
+from omfs4d.ops.camera import Camera
+from omfs4d.parallel.shard import avatar_loss_gaussian_sharded
+from omfs4d.train.trainer import (
+    TrainState,
+    densify_prune_arrays,
+    float_fields,
+    make_optimizer,
+    with_floats,
+)
+
+log = get_logger("sharded_trainer")
+
+
+class ShardedAvatarTrainer:
+    """Gaussian-axis-sharded avatar training over a device mesh.
+
+    Single-frame steps (B=1): the data axis is free for a 2D mesh later;
+    frames are sampled exactly like AvatarTrainer's loop so loss curves
+    are comparable."""
+
+    def __init__(
+        self,
+        faces: np.ndarray,
+        cfg: TrainConfig,
+        width: int,
+        height: int,
+        mesh: Mesh,
+        axis: str = "gauss",
+        white_background: bool = True,
+        tile: int = 16,
+        max_per_tile: int = 512,
+        max_tiles_per_gaussian: int = 16,
+    ):
+        self.faces = jnp.asarray(faces, jnp.int32)
+        self.cfg = cfg
+        self.width, self.height = width, height
+        self.mesh, self.axis = mesh, axis
+        self.n_dev = mesh.shape[axis]
+        self.bg = (jnp.ones(3, jnp.float32) if white_background
+                   else jnp.zeros(3, jnp.float32))
+        self.render_opts = dict(tile=tile, max_per_tile=max_per_tile,
+                                max_tiles_per_gaussian=max_tiles_per_gaussian)
+        self.optimizer = make_optimizer(cfg)
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._densify_fn = jax.jit(self._densify_prune, donate_argnums=(0,),
+                                   static_argnums=(2,))
+
+    # ── state ────────────────────────────────────────────────
+    def _shardings(self, state: TrainState) -> TrainState:
+        """NamedSharding(P(axis)) for every per-gaussian leaf, replicated
+        for scalars."""
+        row = NamedSharding(self.mesh, P(self.axis))
+        rep = NamedSharding(self.mesh, P())
+
+        def spec(x):
+            x = jnp.asarray(x) if not hasattr(x, "ndim") else x
+            return row if (x.ndim >= 1 and
+                           x.shape[0] % self.n_dev == 0 and
+                           x.shape[0] > 0) else rep
+
+        return jax.tree_util.tree_map(spec, state)
+
+    def init_state(self, capacity: int | None = None,
+                   gaussians: GaussianAvatar | None = None,
+                   seed: int | None = None) -> TrainState:
+        capacity = capacity or self.cfg.max_gaussians
+        if gaussians is None:
+            gaussians = init_gaussians_on_mesh(
+                np.asarray(self.faces), capacity,
+                seed=seed if seed is not None else self.cfg.seed,
+                sh_degree=self.cfg.sh_degree)
+        capacity = gaussians.capacity
+        if capacity % self.n_dev:
+            raise ValueError(
+                f"capacity {capacity} not divisible by mesh axis "
+                f"{self.axis}={self.n_dev}")
+        state = TrainState(
+            gaussians=gaussians,
+            opt_state=self.optimizer.init(float_fields(gaussians)),
+            step=jnp.zeros((), jnp.int32),
+            grad_accum=jnp.zeros(capacity, jnp.float32),
+            grad_count=jnp.zeros(capacity, jnp.float32),
+        )
+        return jax.device_put(state, self._shardings(state))
+
+    # ── one jitted sharded step ──────────────────────────────
+    def _train_step(self, state: TrainState, data: dict, idx: jnp.ndarray):
+        cfg = self.cfg
+        g = state.gaussians
+        img = data["images"][idx].astype(jnp.float32) / 255.0
+        if "masks" in data:
+            m = data["masks"][idx].astype(jnp.float32)[..., None] / 255.0
+            img = img * m + self.bg * (1.0 - m)
+        cam = Camera(w2c=data["w2c"][idx],
+                     fx=data["fx"][idx], fy=data["fy"][idx],
+                     cx=data["cx"][idx], cy=data["cy"][idx],
+                     width=self.width, height=self.height)
+        verts = data["verts"][idx]
+        probe = jnp.zeros((g.capacity, 2), jnp.float32)
+        probe = jax.lax.with_sharding_constraint(
+            probe, NamedSharding(self.mesh, P(self.axis)))
+
+        def loss_fn(fp, pr):
+            gg = with_floats(g, fp)
+            loss, overflow = avatar_loss_gaussian_sharded(
+                gg, verts, self.faces, cam, img,
+                mesh=self.mesh, axis=self.axis, background=self.bg,
+                probe=pr, lambda_dssim=cfg.lambda_dssim, return_aux=True,
+                **self.render_opts)
+            return loss, overflow
+
+        fp0 = float_fields(g)
+        (loss, overflow), (grads, probe_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(fp0, probe)
+
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, fp0)
+        fp = optax.apply_updates(fp0, updates)
+        fp["quat_local"] = fp["quat_local"] / (
+            jnp.linalg.norm(fp["quat_local"], axis=-1, keepdims=True) + 1e-12)
+
+        gnorm = jnp.linalg.norm(probe_grad, axis=-1)
+        new_state = TrainState(
+            gaussians=with_floats(g, fp),
+            opt_state=opt_state,
+            step=state.step + 1,
+            grad_accum=state.grad_accum + gnorm,
+            grad_count=state.grad_count + (gnorm > 0).astype(jnp.float32),
+        )
+        return new_state, {"loss": loss, "overflow": overflow,
+                           "n_alive": new_state.gaussians.alive.sum()}
+
+    def step(self, state: TrainState, data: dict, idx) -> tuple:
+        return self._step_fn(state, data, jnp.asarray(idx, jnp.int32))
+
+    # ── sharded densify: per-shard, zero collectives ─────────
+    def _densify_prune(self, state: TrainState, keys: jnp.ndarray,
+                       max_new: int):
+        """`keys` is (n_dev, 2) uint32 — one fold per shard.  Each shard
+        densifies into its OWN dead slots from its OWN top-k pressure
+        scores; max_new is the per-shard budget."""
+        cfg = self.cfg
+        ax = self.axis
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(ax),
+                                             state.gaussians),
+                      P(ax), P(ax), P(ax)),
+            out_specs=jax.tree_util.tree_map(lambda _: P(ax),
+                                             state.gaussians),
+            check_vma=False,
+        )
+        def _local(g_loc, accum, count, key):
+            return densify_prune_arrays(g_loc, accum, count, key[0],
+                                        max_new, cfg)
+
+        g2 = _local(state.gaussians, state.grad_accum, state.grad_count, keys)
+        N = state.gaussians.capacity
+        return TrainState(
+            gaussians=g2,
+            opt_state=self.optimizer.init(float_fields(g2)),
+            step=state.step,
+            grad_accum=jnp.zeros(N, jnp.float32),
+            grad_count=jnp.zeros(N, jnp.float32),
+        )
+
+    def densify(self, state: TrainState, key) -> TrainState:
+        keys = jax.random.split(key, self.n_dev)
+        keys = jax.device_put(
+            jnp.asarray(keys),
+            NamedSharding(self.mesh, P(self.axis)))
+        max_new_local = max(state.gaussians.capacity // self.n_dev // 16, 1)
+        return self._densify_fn(state, keys, max_new_local)
+
+    # ── training loop (mirrors AvatarTrainer.train, B=1) ─────
+    def train(self, data: dict, iterations: int | None = None,
+              state: TrainState | None = None, rng_seed: int = 0,
+              log_every: int = 100) -> TrainState:
+        cfg = self.cfg
+        iterations = iterations or cfg.iterations
+        state = state or self.init_state()
+        rng = np.random.default_rng(rng_seed)
+        key = jax.random.PRNGKey(rng_seed)
+        T = data["images"].shape[0]
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+        densify_until = int(iterations * cfg.densify_until_frac)
+
+        for it in range(1, iterations + 1):
+            idx = int(rng.integers(0, T))
+            state, metrics = self.step(state, data, idx)
+            if it % log_every == 0 or it == iterations:
+                log.info(f"[sharded] iter {it}/{iterations} "
+                         f"loss={float(metrics['loss']):.4f} "
+                         f"alive={int(metrics['n_alive'])}")
+            if (cfg.densify_interval > 0
+                    and cfg.densify_from <= it <= densify_until
+                    and it % cfg.densify_interval == 0):
+                key, sub = jax.random.split(key)
+                state = self.densify(state, sub)
+        return state

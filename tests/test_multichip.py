@@ -218,3 +218,81 @@ def test_gaussian_sharded_training_matches_unsharded():
         scale = max(np.abs(a).max(), 1e-5)
         np.testing.assert_allclose(b, a, atol=5e-4 * scale, rtol=5e-3,
                                    err_msg=f"grad mismatch: {k}")
+
+
+def test_sharded_trainer_matches_replicated_curve():
+    """Fully sharded training state (P('gauss') gaussians + Adam moments):
+    N steps of ShardedAvatarTrainer track AvatarTrainer's replicated loss
+    curve on the same frames, then per-shard densification grows the cloud
+    and training continues finite (SURVEY.md §2.3 model-parallel path)."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+    from omfs4d.train.trainer import AvatarTrainer
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    S = 32
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((1, 100))})
+    gt_avatar = textured_gt_avatar(model)
+    gt_img, _ = render_avatar_frame(gt_avatar, verts[0], model.faces, cam,
+                                    S, S, backend="never", max_per_tile=512)
+    images = (np.clip(np.asarray(gt_img), 0, 1) * 255).astype(np.uint8)[None]
+
+    data = {
+        "images": jnp.asarray(images),
+        "verts": jnp.asarray(verts),
+        "w2c": jnp.asarray(np.asarray(cam.w2c))[None],
+        "fx": jnp.asarray([cam.fx]), "fy": jnp.asarray([cam.fy]),
+        "cx": jnp.asarray([cam.cx]), "cy": jnp.asarray([cam.cy]),
+    }
+
+    cfg = TrainConfig(iterations=8, densify_interval=0, batch_frames=1,
+                      opacity_reset_interval=0, max_gaussians=1024,
+                      sh_degree=1)
+    g0 = init_gaussians_on_mesh(np.asarray(model.faces), 1024, seed=0,
+                                sh_degree=1)
+
+    rep = AvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                        max_per_tile=512, use_pallas="never")
+    rs = rep.init_state(capacity=1024)._replace(gaussians=g0)
+    rs = rs._replace(opt_state=rep.optimizer.init(
+        {k: getattr(g0, k) for k in ("mu_local", "quat_local", "log_scale",
+                                     "opacity_logit", "color", "sh")}))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+    sh_tr = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                 mesh=mesh, max_per_tile=512)
+    ss = sh_tr.init_state(gaussians=g0)
+
+    rep_losses, sh_losses = [], []
+    for it in range(8):
+        idx = jnp.zeros((1,), jnp.int32)
+        rs, rm = rep._step_fn(rs, data, idx)
+        ss, sm = sh_tr.step(ss, data, 0)
+        rep_losses.append(float(rm["loss"]))
+        sh_losses.append(float(sm["loss"]))
+    np.testing.assert_allclose(sh_losses, rep_losses, rtol=2e-2, atol=2e-3)
+    assert rep_losses[-1] < rep_losses[0]          # both actually trained
+
+    # sharded densification: per-shard clone into own dead slots
+    ss = ss._replace(
+        grad_accum=jnp.full(1024, 1.0), grad_count=jnp.full(1024, 1.0))
+    alive_before = int(np.asarray(ss.gaussians.alive).sum())
+    ss = sh_tr.densify(ss, jax.random.PRNGKey(1))
+    alive_after = int(np.asarray(ss.gaussians.alive).sum())
+    assert alive_after > alive_before
+    ss, sm = sh_tr.step(ss, data, 0)
+    assert np.isfinite(float(sm["loss"]))
+
+    # the training state is genuinely sharded
+    shard_dev = {d.id for d in ss.gaussians.mu_local.sharding.device_set}
+    assert len(shard_dev) == 4
