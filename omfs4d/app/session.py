@@ -40,6 +40,7 @@ class PlanningSession:
     cutter: SurgicalCutter | None = None
     cut_args: dict | None = None
     movement: MovementState = field(default_factory=MovementState)
+    measurements: list = field(default_factory=list)
     _undo: list = field(default_factory=list)
     _redo: list = field(default_factory=list)
 
@@ -62,10 +63,11 @@ class PlanningSession:
 
     # ── cutting ──────────────────────────────────────────────
     def preview(self, **cut_args) -> dict:
+        """Plane preview only — does not touch a performed cut's state."""
         if self.maxilla is None:
             raise RuntimeError("load meshes first")
-        self.cutter = SurgicalCutter(self.maxilla, self.mandible)
-        return self.cutter.preview_planes(**cut_args)
+        return SurgicalCutter(self.maxilla,
+                              self.mandible).preview_planes(**cut_args)
 
     def perform_cut(self, **cut_args) -> dict:
         if self.maxilla is None:
@@ -104,6 +106,20 @@ class PlanningSession:
             mandible_rotation=m.mandible_rotation,
         )
 
+    def save_state(self):
+        """Explicitly push the current movement onto the undo history
+        (the reference's 💾 Save State button, app.py:900-903)."""
+        self._undo.append(MovementState(**vars(self.movement)))
+        if len(self._undo) > HISTORY_DEPTH:
+            self._undo.pop(0)
+        self._redo.clear()
+
+    @property
+    def history_info(self) -> tuple[int, int]:
+        """(position, total) for the reference's history caption
+        (app.py:906-907)."""
+        return len(self._undo), len(self._undo) + len(self._redo)
+
     def undo(self) -> dict:
         if not self._undo:
             raise RuntimeError("nothing to undo")
@@ -135,19 +151,59 @@ class PlanningSession:
         }
 
     # ── export + measurements ────────────────────────────────
-    def export(self, path: str | Path, segments: dict | None = None):
+    ALL_SEGMENTS = ("upper_skull", "mobile_maxilla", "distal_mandible",
+                    "proximal_rami")
+
+    def export(self, path: str | Path, segments: dict | None = None,
+               include: tuple[str, ...] | None = None,
+               stl_ascii: bool = False):
+        """Merge selected segments and write STL/PLY/OBJ (the reference's
+        segment-multiselect export, app.py:946-1022)."""
         segs = segments or self.apply_movement()
         combined = None
-        for key in ("upper_skull", "mobile_maxilla", "distal_mandible",
-                    "proximal_rami"):
+        for key in include or self.ALL_SEGMENTS:
             seg = segs.get(key)
             if seg is not None and seg.n_points:
                 combined = seg if combined is None else combined.merge(seg)
         if combined is None:
             raise RuntimeError("nothing to export")
-        save_mesh(path, combined.vertices, combined.faces)
+        if Path(path).suffix.lower() == ".stl":
+            from omfs4d.io.meshio import save_stl
+            save_stl(path, combined.vertices, combined.faces,
+                     binary=not stl_ascii)
+        else:
+            save_mesh(path, combined.vertices, combined.faces)
         return path
 
+    def export_filename(self, fmt: str = "stl") -> str:
+        """Reference's download filename contract (app.py:1014)."""
+        return (f"surgical_plan_maxilla{self.movement.maxilla_mm:+.1f}mm"
+                f"_mandible{self.movement.mandible_mm:+.1f}mm.{fmt}")
+
+    # ── in-browser 3D previews (reference: stpyvista panes) ──
+    def preview_scene(self, **cut_args) -> list:
+        """Cut-plane preview scene (app.py:768-798) for the WebGL viewer."""
+        from omfs4d.app.viewer import scene_payload
+        planes = self.preview(**cut_args)
+        keys = (("maxilla", "mandible") if self.mandible is not None
+                else ("combined",)) + ("lefort", "bsso_l", "bsso_r")
+        return scene_payload({k: planes.get(k) for k in keys})
+
+    def moved_scene(self) -> list:
+        """Post-osteotomy segment scene (app.py:918-937)."""
+        from omfs4d.app.viewer import scene_payload
+        return scene_payload(self.apply_movement())
+
+    def write_preview_html(self, path: str | Path, moved: bool = False,
+                           **cut_args) -> Path:
+        from omfs4d.app.viewer import scene_to_html
+        scene = self.moved_scene() if moved else self.preview_scene(**cut_args)
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(scene_to_html(scene), encoding="utf-8")
+        return p
+
+    # ── measurements (reference: app.py:1024-1162) ───────────
     def measure_distance(self, p1, p2, snap_mesh: TriMesh | None = None) -> float:
         if snap_mesh is not None:
             p1 = snap_to_mesh(snap_mesh, p1)
@@ -156,3 +212,22 @@ class PlanningSession:
 
     def measure_angle(self, p1, vertex, p2) -> float:
         return angle_deg(p1, vertex, p2)
+
+    def add_measurement(self, kind: str, points: list) -> dict:
+        """Compute + save a measurement record (app.py:1083-1092, 1140-1149)."""
+        if kind == "distance":
+            value = f"{self.measure_distance(points[0], points[1]):.2f} mm"
+        elif kind == "angle":
+            value = f"{self.measure_angle(points[0], points[1], points[2]):.1f}°"
+        else:
+            raise ValueError(f"unknown measurement kind {kind!r}")
+        rec = {"type": kind, "points": [list(map(float, p)) for p in points],
+               "value": value}
+        self.measurements.append(rec)
+        return rec
+
+    def delete_measurement(self, index: int):
+        self.measurements.pop(index)
+
+    def clear_measurements(self):
+        self.measurements.clear()

@@ -14,14 +14,28 @@ import numpy as np
 from omfs4d.io.ply import load_ply, save_ply
 
 
-def save_stl(path: str | Path, vertices: np.ndarray, faces: np.ndarray):
-    """Write a binary STL."""
+def save_stl(path: str | Path, vertices: np.ndarray, faces: np.ndarray,
+             binary: bool = True):
+    """Write an STL, binary by default (the reference exposes both flavors
+    in its export selectbox, app.py:949-954 / binary= flag at 999-1001)."""
     v = np.asarray(vertices, dtype=np.float32)
     f = np.asarray(faces, dtype=np.int64)
     tri = v[f]                                    # (M, 3, 3)
     n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     norm = np.linalg.norm(n, axis=1, keepdims=True)
     n = np.where(norm > 1e-12, n / np.maximum(norm, 1e-12), 0.0).astype(np.float32)
+
+    if not binary:
+        with open(path, "w", encoding="ascii") as fh:
+            fh.write("solid omfs4d\n")
+            for nrm, t in zip(n, tri):
+                fh.write(f"facet normal {nrm[0]:.6e} {nrm[1]:.6e} {nrm[2]:.6e}\n")
+                fh.write("  outer loop\n")
+                for p in t:
+                    fh.write(f"    vertex {p[0]:.6e} {p[1]:.6e} {p[2]:.6e}\n")
+                fh.write("  endloop\nendfacet\n")
+            fh.write("endsolid omfs4d\n")
+        return
 
     with open(path, "wb") as fh:
         fh.write(b"omfs4d binary stl".ljust(80, b"\x00"))
@@ -35,8 +49,19 @@ def save_stl(path: str | Path, vertices: np.ndarray, faces: np.ndarray):
 
 
 def load_stl(path: str | Path):
-    """Read a binary STL; returns (vertices, faces) with deduplicated verts."""
+    """Read an STL (binary or ASCII, autodetected); returns (vertices, faces)
+    with deduplicated verts."""
     raw = Path(path).read_bytes()
+    if raw[:6].lower() == b"solid " and b"facet" in raw[:512]:
+        pts = []
+        for line in raw.decode("ascii", errors="ignore").splitlines():
+            parts = line.split()
+            if parts and parts[0] == "vertex":
+                pts.append([float(x) for x in parts[1:4]])
+        tri = np.asarray(pts, dtype=np.float32)
+        verts, inverse = np.unique(tri.round(decimals=6), axis=0,
+                                   return_inverse=True)
+        return verts.astype(np.float32), inverse.reshape(-1, 3).astype(np.int32)
     n_tri = struct.unpack_from("<I", raw, 80)[0]
     rec = np.frombuffer(raw, dtype=np.dtype([
         ("normal", "<f4", 3), ("v", "<f4", (3, 3)), ("attr", "<u2"),

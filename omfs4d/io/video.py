@@ -1,12 +1,17 @@
-"""Video decode/encode via OpenCV (the ffmpeg binary is not a dependency).
+"""Video decode/encode (ffmpeg when present, OpenCV otherwise).
 
 Replaces the reference's ffmpeg subprocess usage for frame extraction
 (ref: preprocess_video.py:45-54) and H.264 stitching
-(ref: render_surgery.py:412-449).  Falls back through codecs: avc1 -> mp4v.
+(ref: render_surgery.py:412-449).  Stitching prefers a real ffmpeg binary
+(libx264 yuv420p crf18 — the reference's exact encode contract,
+render_surgery.py:433-441) and falls back through cv2 codecs:
+avc1 -> mp4v -> MJPG.
 """
 
 from __future__ import annotations
 
+import shutil
+import subprocess
 from pathlib import Path
 
 import numpy as np
@@ -87,15 +92,67 @@ def write_image(path: str | Path, rgb: np.ndarray) -> None:
         cv2.imwrite(str(path), cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
 
 
+def find_ffmpeg() -> str | None:
+    """Locate an ffmpeg binary: PATH first, then the imageio_ffmpeg wheel."""
+    exe = shutil.which("ffmpeg")
+    if exe:
+        return exe
+    try:                                           # pragma: no cover - env
+        import imageio_ffmpeg
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except Exception:
+        return None
+
+
+def ffmpeg_stitch_cmd(ffmpeg_bin: str, pattern: str, output_path: str,
+                      fps: int, crf: int = 18) -> list[str]:
+    """The reference's exact H.264 encode invocation
+    (render_surgery.py:433-441): libx264, yuv420p, preset medium, CRF 18."""
+    return [
+        ffmpeg_bin, "-y",
+        "-framerate", str(fps),
+        "-i", pattern,
+        "-c:v", "libx264",
+        "-pix_fmt", "yuv420p",
+        "-preset", "medium",
+        "-crf", str(crf),
+        str(output_path),
+    ]
+
+
+def _stitch_ffmpeg(frames: list[Path], out_path: Path, fps: int,
+                   ffmpeg_bin: str) -> None:
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="stitch_") as tmp:
+        for i, src in enumerate(frames):
+            shutil.copy2(src, Path(tmp) / f"frame_{i:05d}.png")
+        cmd = ffmpeg_stitch_cmd(
+            ffmpeg_bin, str(Path(tmp) / "frame_%05d.png"), str(out_path), fps)
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode != 0:
+            raise RuntimeError(f"ffmpeg failed:\n{res.stderr[-2000:]}")
+
+
 def stitch_video(frames_dir: str | Path, output_path: str | Path, fps: int = 30) -> Path:
-    """Stitch sorted PNG frames into an MP4 (parity: render_surgery.py:412-449)."""
+    """Stitch sorted PNG frames into an MP4 (parity: render_surgery.py:412-449).
+
+    Uses ffmpeg (libx264 yuv420p crf18 — the reference's encode contract)
+    when a binary is available; otherwise the cv2 codec ladder.
+    """
     frames = sorted(Path(frames_dir).glob("*.png"))
     if not frames:
         raise FileNotFoundError(f"No PNG frames in {frames_dir}")
-    first = cv2.imread(str(frames[0]))
-    h, w = first.shape[:2]
     out_path = Path(output_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    ffmpeg_bin = find_ffmpeg()
+    if ffmpeg_bin:
+        _stitch_ffmpeg(frames, out_path, fps, ffmpeg_bin)
+        return out_path
+
+    first = cv2.imread(str(frames[0]))
+    h, w = first.shape[:2]
 
     writer = None
     for codec in ("avc1", "mp4v", "MJPG"):

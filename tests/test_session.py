@@ -82,3 +82,102 @@ class TestMeasure:
         d = session.measure_distance((0, 0, 52), (0, 0, -52),
                                      snap_mesh=session.maxilla.merge(session.mandible))
         assert abs(d - 100.0) < 2.0   # sphere poles at z=50 / z=-50
+
+
+class TestDashboardParity:
+    """Round-2 UI parity surface: measurements list, save state, selectable
+    export, WebGL preview scenes, stage progress (ref app.py:729-1162,
+    1279-1323, 1480-1498)."""
+
+    def test_measurement_records(self, session):
+        rec = session.add_measurement("distance", [(0, 0, 0), (3, 4, 0)])
+        assert rec["value"] == "5.00 mm"
+        rec2 = session.add_measurement("angle",
+                                       [(-1, 0, 0), (0, 0, 0), (0, 1, 0)])
+        assert rec2["value"] == "90.0°"
+        assert len(session.measurements) == 2
+        session.delete_measurement(0)
+        assert session.measurements[0]["type"] == "angle"
+        session.clear_measurements()
+        assert not session.measurements
+        with pytest.raises(ValueError):
+            session.add_measurement("area", [(0, 0, 0)])
+
+    def test_save_state_and_history_info(self, session):
+        session.save_state()
+        session.movement.maxilla_mm = 7.0
+        assert session.history_info == (1, 1)
+        session.undo()
+        assert session.movement.maxilla_mm == 0.0
+        assert session.history_info == (0, 1)
+
+    def test_selectable_segment_export(self, session, tmp_path):
+        all_path = session.export(tmp_path / "all.stl")
+        one_path = session.export(tmp_path / "one.stl",
+                                  include=("mobile_maxilla",))
+        va, _ = load_mesh(all_path)
+        vo, _ = load_mesh(one_path)
+        assert len(vo) < len(va)
+        with pytest.raises(RuntimeError):
+            session.export(tmp_path / "none.stl", include=("nonexistent",))
+
+    def test_ascii_stl_roundtrip(self, session, tmp_path):
+        p_bin = session.export(tmp_path / "b.stl", include=("mobile_maxilla",))
+        p_asc = session.export(tmp_path / "a.stl", include=("mobile_maxilla",),
+                               stl_ascii=True)
+        assert p_asc.read_bytes()[:6] == b"solid "
+        vb, fb = load_mesh(p_bin)
+        va, fa = load_mesh(p_asc)
+        assert fa.shape == fb.shape
+        np.testing.assert_allclose(np.sort(va, axis=0), np.sort(vb, axis=0),
+                                   atol=1e-4)
+
+    def test_export_filename_contract(self, session):
+        session.set_movement(maxilla_mm=5.0, mandible_mm=-3.0)
+        assert (session.export_filename("stl")
+                == "surgical_plan_maxilla+5.0mm_mandible-3.0mm.stl")
+
+    def test_preview_and_moved_scenes(self, session, tmp_path):
+        scene = session.preview_scene(lefort_z=20, bsso_l_x=-15, bsso_r_x=15)
+        names = {m["name"] for m in scene}
+        assert {"lefort", "bsso_l", "bsso_r"} <= names
+        assert {"maxilla", "mandible"} <= names    # demo has separate meshes
+        moved = session.moved_scene()
+        mnames = {m["name"] for m in moved}
+        assert "mobile_maxilla" in mnames and "distal_mandible" in mnames
+        # every entry carries renderable geometry
+        for m in scene + moved:
+            assert len(m["positions"]) % 9 == 0 and len(m["positions"]) > 0
+            assert len(m["normals"]) == len(m["positions"])
+
+    def test_preview_html_standalone(self, session, tmp_path):
+        p = session.write_preview_html(tmp_path / "prev.html",
+                                       lefort_z=20, bsso_l_x=-15, bsso_r_x=15)
+        html = p.read_text()
+        assert "<canvas" in html and "webgl" in html
+        assert "lefort" in html
+        assert "http" not in html.split("<script>")[1]   # no CDN/network deps
+
+
+class TestStageProgress:
+    def test_event_mapping_monotone(self):
+        from omfs4d.app.progress import progress_of_events
+        events = [
+            {"event": "stage_start", "stage": "preprocess"},
+            {"event": "stage_end", "stage": "preprocess"},
+            {"event": "track_stage", "stage": "lmk_init_rigid"},
+            {"event": "track_stage", "stage": "global_optimization_0"},
+            {"event": "track_stage", "stage": "lmk_init_all"},   # late repeat
+        ]
+        pct, status = progress_of_events(events)
+        assert pct == 80 and "Global" in status
+
+    def test_read_progress_file(self, tmp_path):
+        import json
+        from omfs4d.app.progress import read_progress
+        assert read_progress(tmp_path / "missing.jsonl") == (0, "Waiting...")
+        p = tmp_path / "events.jsonl"
+        p.write_text(json.dumps({"event": "stage_end", "stage": "render"})
+                     + "\nnot json\n")
+        pct, status = read_progress(p)
+        assert pct == 100

@@ -43,6 +43,35 @@ def test_extract_max_frames_and_stride(video, tmp_path):
     assert len(out) == 3
 
 
+def test_ffmpeg_stitch_contract(tmp_path, monkeypatch):
+    """When an ffmpeg binary exists, stitching must use the reference's
+    exact encode contract: libx264, yuv420p, preset medium, CRF 18
+    (ref render_surgery.py:433-441).  Exercised with a recording stub."""
+    import omfs4d.io.video as vid
+
+    frames_dir = tmp_path / "f"
+    frames_dir.mkdir()
+    for t in range(3):
+        write_image(frames_dir / f"{t:05d}.png",
+                    np.full((32, 32, 3), t * 40, np.uint8))
+
+    fake = tmp_path / "ffmpeg"
+    argfile = tmp_path / "args.txt"
+    fake.write_text("#!/bin/bash\n"
+                    f"echo \"$@\" > {argfile}\n"
+                    "touch \"${@: -1}\"\n")
+    fake.chmod(0o755)
+    monkeypatch.setattr(vid, "find_ffmpeg", lambda: str(fake))
+
+    out = vid.stitch_video(frames_dir, tmp_path / "out.mp4", fps=25)
+    assert out.exists()
+    args = argfile.read_text().split()
+    for flag, val in (("-c:v", "libx264"), ("-pix_fmt", "yuv420p"),
+                      ("-preset", "medium"), ("-crf", "18"),
+                      ("-framerate", "25")):
+        assert val == args[args.index(flag) + 1], (flag, args)
+
+
 def test_pipeline_preprocess_stage(video, tmp_path):
     from omfs4d.pipeline.runner import Pipeline
 
