@@ -82,15 +82,31 @@ def render_dataset_frames(
         )
         return img
 
-    for i in range(T):
-        cam = ds.camera(i)
-        img = render_one(gaussians, verts_all[i], cam.w2c, cam.fx, cam.fy,
-                         cam.cx, cam.cy)
+    # Pipelined loop: JAX dispatch is async, so keeping a small window of
+    # in-flight frames overlaps device rasterization with host PNG encode +
+    # D2H transfers.  (Batching frames through vmap was measured slower:
+    # batched lax.sort/gather lowerings underperform their unbatched forms
+    # on TPU — see the B==1 note in train/trainer.py.)
+    window = 4
+    pending: list[tuple[int, object]] = []
+
+    def _drain(entry):
+        i, img = entry
         name = Path(ds.frame_meta(i)["file_path"]).name
         write_image(out_renders / name, np.asarray(img))
         if out_gt is not None:
             shutil.copy2(ds.data_dir / ds.frame_meta(i)["file_path"],
                          Path(out_gt) / name)
+
+    for i in range(T):
+        cam = ds.camera(i)
+        img = render_one(gaussians, verts_all[i], cam.w2c, cam.fx, cam.fy,
+                         cam.cx, cam.cy)
+        pending.append((i, img))
+        if len(pending) >= window:
+            _drain(pending.pop(0))
+    for entry in pending:
+        _drain(entry)
     return out_renders
 
 

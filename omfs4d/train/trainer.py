@@ -367,6 +367,26 @@ class AvatarTrainer:
             flame_opt_state=state.flame_opt_state,
         )
 
+    MAX_TILE_WINDOW = 64
+
+    def grow_tile_window(self) -> bool:
+        """Double max_tiles_per_gaussian (recompiles the step fns).
+
+        Returns False once the cap is reached; the clipped count stays
+        observable in metrics either way."""
+        cur = self.render_cfg["max_tiles_per_gaussian"]
+        if cur >= self.MAX_TILE_WINDOW:
+            log.warning(
+                f"window_clipped pressure but max_tiles_per_gaussian "
+                f"already at cap {cur} — large gaussians are being clipped")
+            return False
+        self.render_cfg["max_tiles_per_gaussian"] = cur * 2
+        log.info(f"growing max_tiles_per_gaussian {cur} -> {cur * 2} "
+                 f"(window-clip pressure)")
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._eval_fn = jax.jit(self._eval_frame)
+        return True
+
     def _eval_frame(self, gaussians, verts, w2c, fx, fy, cx, cy):
         cam = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy,
                      width=self.width, height=self.height)
@@ -430,6 +450,14 @@ class AvatarTrainer:
                     f"psnr={m['psnr']:.2f} alive={int(m['n_alive'])}"
                 )
                 events.emit("train_step", iter=it, **m)
+                # tile-window pressure: gaussians larger than the static
+                # max_tiles_per_gaussian window get silently clipped to
+                # their nearest tiles — escalate the window (recompile)
+                # before that degrades quality (typical early in training,
+                # before large gaussians are split)
+                clip_frac = m["window_clipped"] / max(m["n_alive"], 1.0)
+                if clip_frac > 0.02:
+                    self.grow_tile_window()
 
             if (
                 cfg.densify_interval > 0

@@ -1,0 +1,135 @@
+"""Full end-to-end case with timings + fidelity: video -> track -> train ->
+(a) zero-offset self-reconstruction vs GT frames (fidelity number) and
+(b) surgical prediction render -> strict report.  Writes E2E_TIMING.json.
+
+Run on the real TPU (default env) for the headline number:
+
+    python scripts/e2e_case.py --size 256 --frames 60 --iters 2000
+
+Quick CPU smoke: --size 64 --frames 4 --iters 120 --cpu
+
+Reference spec for the fidelity leg: single_frame_experiment.py:108-163
+(render same pose, zero offsets, compare vs GT) and BASELINE.md's >=0.5 dB
+parity target; selfrecon_psnr is the whole-pipeline analogue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--workdir", default="/tmp/omfs4d_e2e")
+    ap.add_argument("--out", default="E2E_TIMING.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import numpy as np
+    import jax
+
+    from omfs4d.core.config import Config
+    from omfs4d.io.synthetic import make_synthetic_dataset
+    from omfs4d.io.video import stitch_video
+    from omfs4d.pipeline.runner import Pipeline
+    from omfs4d.ops.camera import look_at_camera
+
+    backend = jax.default_backend()
+    use_pallas = "always" if backend == "tpu" else "never"
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    S = args.size
+    stages: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.time(); return self
+            def __exit__(self, *a):
+                stages[name] = round(time.time() - self.t, 1)
+                print(f"[e2e] {name}: {stages[name]}s", flush=True)
+        return _T()
+
+    # synthetic "patient capture" -> video (no landmarks anywhere on disk)
+    case = make_synthetic_dataset(work / "case", n_frames=args.frames,
+                                  width=S, height=S, backend=use_pallas)
+    video = stitch_video(work / "case" / "images", work / "input.mp4", fps=25)
+
+    cfg = Config()
+    cfg.pipeline.target_size = S
+    cfg.pipeline.max_frames = args.frames
+    cfg.pipeline.min_train_frames = min(50, max(args.frames - 2, 1))
+    cfg.render.use_pallas = use_pallas
+    cfg.train.iterations = args.iters
+    if args.frames < 20:     # smoke-scale tracking budget
+        for k, v in dict(steps_lmk_init_rigid=20, steps_lmk_init_all=15,
+                         steps_rgb_init_texture=5, steps_rgb_init_all=5,
+                         steps_rgb_init_offset=2, steps_rgb_sequential=2,
+                         steps_global=6, epochs_global=1, n_shape=10,
+                         n_expr=10, detector_steps=50,
+                         detector_size=64).items():
+            setattr(cfg.track, k, v)
+    pipe = Pipeline(cfg, work / "wd")
+
+    t_all = time.time()
+    with timed("preprocess"):
+        frames_dir = pipe.preprocess(video)
+    with timed("track"):
+        import cv2
+        sample = next((frames_dir / "images").glob("*.png"))
+        h, w = cv2.imread(str(sample)).shape[:2]
+        cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0),
+                             fx=1.6 * max(w, h), width=w, height=h)
+        data_dir = pipe.track(frames_dir, cam, landmark_method="auto")
+    with timed(f"train_{args.iters}_iters"):
+        model_dir = pipe.train(data_dir, iterations=args.iters)
+
+    # (a) fidelity: zero-offset self-reconstruction vs GT frames
+    det_self = work / "det_self"
+    with timed("selfrecon_render"):
+        pipe.render_surgery(model_dir, data_dir, work / "selfrecon.mp4",
+                            0.0, 0.0, export_frames_dir=str(det_self))
+    with timed("selfrecon_report"):
+        rep = pipe.report(model_dir, det_self,
+                          output_dir=work / "selfrecon_report")
+    rows = rep.get("rows", [])
+    selfrecon_psnr = (float(np.mean([r["psnr"] for r in rows]))
+                      if rows else None)
+    print(f"[e2e] selfrecon_psnr={selfrecon_psnr}", flush=True)
+
+    # (b) surgical prediction (modified params) + strict report
+    det_mod = work / "det_mod"
+    with timed("render_surgery"):
+        pipe.render_surgery(model_dir, data_dir, work / "pred.mp4",
+                            5.0, 3.0, export_frames_dir=str(det_mod))
+    with timed("report"):
+        rep_mod = pipe.report(model_dir, det_mod, output_dir=work / "report")
+    front = rep_mod.get("summary", {}).get("by_bucket", {}).get("front", {})
+
+    out = {
+        "e2e_minutes_per_case": round((time.time() - t_all) / 60, 2),
+        "stages_sec": stages,
+        "resolution": S,
+        "n_frames": args.frames,
+        "train_iters": args.iters,
+        "backend": backend,
+        "selfrecon_psnr": selfrecon_psnr,
+        "front_psnr_modified": front.get("psnr"),
+    }
+    Path(args.out).write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,3 +146,66 @@ def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
     assert "jaw_pose" in p0 and "translation" in p0
     assert (out / "canonical_flame_param.npz").exists()
     assert (out / "points3d.ply").exists()
+
+
+def test_reference_layout_dataset_trains_and_predicts(tmp_path):
+    """A dataset in the reference converter's exact layout (VHAP-style
+    images/00000_00.png camera-suffixed names, per-frame npz, batched npz,
+    canonical npz; ref preprocess_video.py:200-426) goes through
+    train -> zero-offset surgical render and reconstructs the capture.
+
+    This is the simulated 'reference-produced dataset' compatibility run:
+    a user switching from the reference can point this framework at their
+    existing tracked data."""
+    import json
+    import shutil
+    from omfs4d.io.synthetic import make_synthetic_dataset
+    from omfs4d.io.video import read_image
+    from omfs4d.pipeline.runner import Pipeline
+    from omfs4d.train.losses import psnr as psnr_fn
+
+    S, T = 48, 5
+    # n_vertices=5143: the reference contract pads offsets to full FLAME
+    # size (preprocess_video.py:273-341), so a "reference-produced" dataset
+    # always carries 5143-vert offset tensors
+    case = make_synthetic_dataset(tmp_path / "case", n_frames=T,
+                                  width=S, height=S, n_vertices=5143,
+                                  backend="never")
+    data_dir = case["path"]
+
+    # morph to the reference converter's camera-suffixed naming
+    for sub in ("images", "fg_masks"):
+        d = data_dir / sub
+        if d.is_dir():
+            for p in sorted(d.glob("*.png")):
+                p.rename(p.with_name(p.stem + "_00.png"))
+    for tf in data_dir.glob("transforms_*.json"):
+        meta = json.loads(tf.read_text())
+        for fr in meta["frames"]:
+            for key in ("file_path", "fg_mask_path"):
+                if key in fr:
+                    fr[key] = fr[key].replace(".png", "_00.png")
+        tf.write_text(json.dumps(meta))
+
+    cfg = Config()
+    cfg.pipeline.min_train_frames = 2
+    cfg.render.use_pallas = "never"
+    cfg.render.max_per_tile = 128
+    cfg.train.max_gaussians = 4096
+    cfg.train.densify_interval = 0
+    cfg.train.opacity_reset_interval = 0
+    pipe = Pipeline(cfg, tmp_path / "wd")
+
+    model_dir = pipe.train(data_dir, iterations=60)
+    result = pipe.render_surgery(model_dir, data_dir, tmp_path / "self.mp4",
+                                 0.0, 0.0)
+    assert Path(result["video"]).exists()
+    renders = sorted(Path(result["renders_dir"]).glob("*.png"))
+    gts = sorted((Path(result["renders_dir"]).parent / "gt").glob("*.png"))
+    # train split = 90% of frames
+    assert len(renders) == len(gts) > 0
+    import jax.numpy as jnp
+    vals = [float(psnr_fn(jnp.asarray(read_image(r) / 255.0),
+                          jnp.asarray(read_image(g) / 255.0)))
+            for r, g in zip(renders, gts)]
+    assert float(np.mean(vals)) > 13.0, vals

@@ -51,7 +51,7 @@ class TestOverfit:
     def test_single_frame_overfit(self, scene, tmp_path):
         model, cam, verts, img = scene
         cfg = TrainConfig(
-            iterations=180, densify_from=50, densify_interval=80,
+            iterations=300, densify_from=50, densify_interval=80,
             densify_until_frac=0.6, opacity_reset_interval=0,
             max_gaussians=4096, batch_frames=1,
         )
@@ -68,13 +68,15 @@ class TestOverfit:
         img1 = trainer.render_frame(state, verts, cam)
         p1 = float(psnr(img1, jnp.asarray(img)))
 
+        # CUDA 3DGS overfits a frame to 30+ dB; this trainer measures
+        # 31.7 dB @300 iters / 50 dB @600 on this scene — gate at 28.
         assert p1 > p0 + 4.0, (p0, p1)
-        assert p1 > 17.5, (p0, p1)
+        assert p1 > 28.0, (p0, p1)
 
         # checkpoints at N/4, N/2, N (reference parity)
         pc = tmp_path / "point_cloud"
         names = {d.name for d in pc.iterdir()}
-        assert names == {"iteration_45", "iteration_90", "iteration_180"}
+        assert names == {"iteration_75", "iteration_150", "iteration_300"}
 
     def test_checkpoint_roundtrip(self, scene, tmp_path):
         from omfs4d.train.checkpoints import (
@@ -315,3 +317,23 @@ def test_init_from_points_roundtrip(scene):
     # scales are positive and finite (knn-derived)
     s = np.asarray(scales)[:200]
     assert np.isfinite(s).all() and (s > 0).all()
+
+
+def test_tile_window_auto_grows(scene):
+    """When the static per-gaussian tile window clips a meaningful fraction
+    of gaussians, the trainer escalates max_tiles_per_gaussian (recompiling)
+    instead of silently degrading quality."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=2, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=512)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, max_tiles_per_gaussian=1,
+                            use_pallas="never")
+    state = trainer.init_state(capacity=512)
+    # inflate scales so footprints span many tiles
+    g = state.gaussians._replace(log_scale=state.gaussians.log_scale + 2.0)
+    state = state._replace(gaussians=g)
+    assert trainer.render_cfg["max_tiles_per_gaussian"] == 1
+    trainer.train(_data(cam, verts, img), iterations=2, state=state,
+                  log_every=1)
+    assert trainer.render_cfg["max_tiles_per_gaussian"] > 1
