@@ -124,6 +124,10 @@ class PipelineConfig:
     max_frames: int = 0            # 0 = all
     train_fraction: float = 0.9    # 90/10 split (preprocess_video.py:403-406)
     min_train_frames: int = 50     # quality gate (train_ghost.py:110)
+    # fg-mask matting for the dataset contract (ref --matting_method,
+    # preprocess_video.py:132): none | border_color | median_background |
+    # neural (self-trained, track/segnet.py)
+    matting: str = "border_color"
 
 
 @dataclass

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -148,7 +149,9 @@ def flame_forward(model: FlameModel, params: dict, return_landmarks: bool = Fals
     def blend(dirs, coeff):
         flat = dirs.reshape(V * 3, -1)
         k = min(flat.shape[1], coeff.shape[1])   # tracker may use fewer modes
-        return (flat[:, :k] @ coeff[:, :k].T).T.reshape(B, V, 3)
+        return jnp.dot(flat[:, :k], coeff[:, :k].T,
+                       precision=jax.lax.Precision.HIGHEST
+                       ).T.reshape(B, V, 3)
 
     v = model.v_template[None] + blend(model.shapedirs_shape, shape[:, :n_shape])
     v = v + blend(model.shapedirs_expr, expr[:, :n_expr])
@@ -161,7 +164,8 @@ def flame_forward(model: FlameModel, params: dict, return_landmarks: bool = Fals
         v = v + do[..., :V, :]
 
     # 2. joints from the shaped template
-    joints = jnp.einsum("jv,bvc->bjc", model.J_regressor, v)
+    joints = jnp.einsum("jv,bvc->bjc", model.J_regressor, v,
+                        precision=jax.lax.Precision.HIGHEST)
 
     # 3. per-joint rotations
     pose = jnp.stack([rotation, neck, jaw, eyes[:, :3], eyes[:, 3:]], axis=1)  # (B, 5, 3)
@@ -174,8 +178,10 @@ def flame_forward(model: FlameModel, params: dict, return_landmarks: bool = Fals
 
     # 5. LBS
     _, rel_tf = _rigid_chain(rot_mats, joints, model.parents)                  # (B, J, 4, 4)
-    T = jnp.einsum("vj,bjmn->bvmn", model.lbs_weights, rel_tf)                 # (B, V, 4, 4)
-    v = jnp.einsum("bvmn,bvn->bvm", T[..., :3, :3], v) + T[..., :3, 3]
+    T = jnp.einsum("vj,bjmn->bvmn", model.lbs_weights, rel_tf,
+                   precision=jax.lax.Precision.HIGHEST)      # (B, V, 4, 4)
+    v = jnp.einsum("bvmn,bvn->bvm", T[..., :3, :3], v,
+                   precision=jax.lax.Precision.HIGHEST) + T[..., :3, 3]
 
     # 6. global translation
     v = v + translation[:, None, :]
@@ -190,7 +196,8 @@ def flame_landmarks(model: FlameModel, verts: jnp.ndarray) -> jnp.ndarray:
     """Barycentric landmark extraction from posed vertices (B, V, 3)."""
     lmk_faces = model.faces[model.lmk_faces_idx]          # (L, 3)
     lmk_verts = verts[:, lmk_faces]                        # (B, L, 3, 3)
-    return jnp.einsum("blkc,lk->blc", lmk_verts, model.lmk_bary_coords)
+    return jnp.einsum("blkc,lk->blc", lmk_verts, model.lmk_bary_coords,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def canonical_params(model: FlameModel, T: int = 1, n_shape: int = 300, n_expr: int = 100) -> dict:

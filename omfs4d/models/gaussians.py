@@ -192,9 +192,20 @@ def init_gaussians_on_mesh(
     init_scale: float = 0.5,
     seed: int = 0,
     sh_degree: int = 3,
+    ref_verts: np.ndarray | None = None,
 ) -> GaussianAvatar:
     """One gaussian per triangle (GaussianAvatars' binding init), padded to
-    a fixed capacity for in-jit densification."""
+    a fixed capacity for in-jit densification.
+
+    `ref_verts` (V, 3): when given, per-face init scales follow the CUDA
+    3DGS / simple-knn convention — WORLD-space init sigma = mean distance
+    to the 3 nearest triangle centroids — expressed in the parent
+    triangle's local units (binding multiplies local scale by triangle
+    scale).  Without it, a constant local init on meshes with long edges
+    or non-uniform triangles produces screen footprints spanning dozens
+    of tiles, which overflows the fixed per-tile K lists and starves the
+    optimizer.  The optimizer can still grow any gaussian later; this
+    only fixes the starting point."""
     F = len(faces)
     n = min(F, capacity)
     rng = np.random.default_rng(seed)
@@ -205,6 +216,15 @@ def init_gaussians_on_mesh(
     quat[:, 0] = 1.0
     mu = np.zeros((capacity, 3), dtype=np.float32)
     log_scale = np.full((capacity, 3), np.log(init_scale), dtype=np.float32)
+    if ref_verts is not None:
+        from omfs4d.ops.knn import knn_mean_distance
+        R_, t_, s = triangle_frames(jnp.asarray(ref_verts, jnp.float32),
+                                    jnp.asarray(faces))
+        s = np.maximum(np.asarray(s), 1e-9)
+        d_knn = np.asarray(knn_mean_distance(t_, k=3))      # (F,)
+        local = np.clip(d_knn / s, None, init_scale)        # never grow
+        log_scale = np.log(np.maximum(local[parent], 1e-6)
+                           ).astype(np.float32)[:, None].repeat(3, 1)
     opac = np.full((capacity,), inverse_sigmoid(init_opacity), dtype=np.float32)
     color = np.full((capacity, 3), inverse_sigmoid(np.clip(init_color, 1e-3, 1 - 1e-3)),
                     dtype=np.float32)

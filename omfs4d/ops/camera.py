@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,7 +78,8 @@ def look_at_camera(
 
 def project_points(cam: Camera, pts: jnp.ndarray):
     """World points (N, 3) -> (uv (N, 2), depth (N,))."""
-    p = pts @ cam.w2c[:3, :3].T + cam.w2c[:3, 3]
+    p = jnp.dot(pts, cam.w2c[:3, :3].T,
+                precision=jax.lax.Precision.HIGHEST) + cam.w2c[:3, 3]
     z = p[:, 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     u = cam.fx * p[:, 0] / safe_z + cam.cx
@@ -101,7 +103,10 @@ def project_gaussians(
       pixels, in_front (N,) bool validity.
     """
     W = cam.w2c[:3, :3]
-    t = means @ W.T + cam.w2c[:3, 3]
+    # HIGHEST: TPU default rounds matmul inputs to bf16, which jitters
+    # projected centers by ~0.5 px at 256^2 — a visible fidelity floor
+    t = jnp.dot(means, W.T,
+                precision=jax.lax.Precision.HIGHEST) + cam.w2c[:3, 3]
     z = t[:, 2]
     in_front = z > near
     safe_z = jnp.maximum(z, near)

@@ -87,6 +87,16 @@ class Pipeline:
                 lmk, valid = detect_landmarks(
                     images_dir, method=landmark_method, **lmk_kw,
                 )
+
+                masks = None
+                if cfg.pipeline.matting != "none":
+                    from omfs4d.track.matting import compute_masks
+                    mat_kw = {}
+                    if cfg.pipeline.matting == "neural":
+                        mat_kw = dict(model=self.model,
+                                      backend=cfg.render.use_pallas)
+                    masks = compute_masks(frames, method=cfg.pipeline.matting,
+                                          **mat_kw)
                 tracker = FlameTracker(
                     self.model, cfg.track, camera, (W, H),
                     max_per_tile=cfg.render.max_per_tile,
@@ -112,6 +122,7 @@ class Pipeline:
                     float(camera.fx), float(camera.fy),
                     float(camera.cx), float(camera.cy),
                     flame_params=result.params,
+                    masks=masks,
                     points3d=np.asarray(verts0),
                     n_verts=self.model.n_vertices,
                     train_fraction=cfg.pipeline.train_fraction,
@@ -120,7 +131,8 @@ class Pipeline:
 
         return self.store.run(
             "track", {"frames": str(frames_dir)},
-            {"track": self.cfg.track.__dict__, "lmk": landmark_method},
+            {"track": self.cfg.track.__dict__, "lmk": landmark_method,
+             "matting": self.cfg.pipeline.matting},
             run, force=force,
         )
 
@@ -169,9 +181,10 @@ class Pipeline:
             use_pallas=cfg.render.use_pallas,
             flame_model=self.model if cfg.train.optimize_flame else None,
         )
-        state = None
-        if cfg.train.optimize_flame:
-            state = trainer.init_state(flame_params=params)
+        state = trainer.init_state(
+            flame_params=params if cfg.train.optimize_flame else None,
+            canonical_verts=np.asarray(verts[0]),
+        )
         with stage_timer("train", self.events):
             trainer.train(data, iterations=iterations, state=state,
                           output_dir=output_dir, events=self.events)

@@ -95,8 +95,15 @@ def render_dataset_frames(
         name = Path(ds.frame_meta(i)["file_path"]).name
         write_image(out_renders / name, np.asarray(img))
         if out_gt is not None:
-            shutil.copy2(ds.data_dir / ds.frame_meta(i)["file_path"],
-                         Path(out_gt) / name)
+            # GT must match the training target: when fg_masks exist the
+            # trainer composites frames over the white background, and the
+            # renders have white background too (GaussianAvatars stores the
+            # same masked gt in train/ours_N/gt)
+            gt = ds.load_image(i).astype(np.float32) / 255.0
+            m = ds.load_mask(i)
+            if m is not None:
+                gt = gt * m[..., None] + (1.0 - m[..., None])
+            write_image(Path(out_gt) / name, gt)
 
     for i in range(T):
         cam = ds.camera(i)

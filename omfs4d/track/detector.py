@@ -187,10 +187,12 @@ class SyntheticFaceSampler:
 
         lmk3d = flame_landmarks(model, verts[None])[0]
         lmk_uv, _ = project_points(cam, lmk3d)
-        return img, lmk_uv / S
+        return img, lmk_uv / S, aux["alpha"]
 
     def batch(self, key, batch_size: int):
-        """(images (B,S,S,3), labels (B,L,2) normalized) — one jit call."""
+        """(images (B,S,S,3), labels (B,L,2) normalized, alpha (B,S,S))
+        — one jit call.  `alpha` is the ground-truth foreground coverage
+        (used as matting supervision by track.segnet)."""
         if self._batch_fn is None:
             n_tex = jax.tree_util.tree_leaves(self.avatars)[0].shape[0]
 
@@ -240,7 +242,7 @@ def train_detector(
 
     for i in range(steps):
         key, kb = jax.random.split(key)
-        images, labels = sampler.batch(kb, batch_size)
+        images, labels, _ = sampler.batch(kb, batch_size)
         params, opt_state, loss = step(params, opt_state, images, labels)
         if log_every and (i % log_every == 0 or i == steps - 1):
             px = float(jnp.sqrt(loss * 2) * image_size)  # rough px scale

@@ -128,6 +128,26 @@ def _border_color(
     return mask
 
 
+@register_matting("neural")
+def _neural(frames: np.ndarray, model=None, weights=None,
+            image_size: int = 96, train_steps: int = 800,
+            backend: str = "never", **_) -> np.ndarray:
+    """Self-trained matting net (track/segnet.py) — the NN analogue of the
+    reference's robust_video_matting path.  Trains on domain-randomized
+    synthetic renders on first use; afterwards a single jitted forward."""
+    from omfs4d.track import segnet
+
+    if model is None:
+        from omfs4d.models.assets import synthetic_flame_asset
+        from omfs4d.models.flame import FlameModel
+        model = FlameModel.from_asset(synthetic_flame_asset())
+    params = segnet.get_or_train_segnet(
+        model, weights=weights, image_size=image_size, steps=train_steps,
+        backend=backend)
+    return segnet.predict_masks(params, np.asarray(frames),
+                                image_size=image_size)
+
+
 def compute_masks(frames: np.ndarray, method: str = "border_color",
                   **kwargs) -> np.ndarray:
     """Run a registered matting method -> (T, H, W) float32 in {0, 1}."""

@@ -3,6 +3,7 @@ GaussianAvatars trainer uses), plus PSNR."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,16 +44,24 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.n
     bw = _band_matrix(W, window_size, 1.5)                      # (W, W)
 
     def filt(img):                                              # (H, W, C)
+        # Precision.HIGHEST is load-bearing: with the TPU default the MXU
+        # rounds inputs to bf16, and the windowed variance below
+        # (E[x^2] - mu^2) cancels catastrophically — sig_x + sig_y + c2
+        # goes negative on smooth regions and SSIM explodes (observed as
+        # negative training losses at 256^2 on real hardware).
         y = jnp.einsum("hk,kwc->hwc", bh, img,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("hkc,wk->hwc", y, bw,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     mu_x = filt(pred)
     mu_y = filt(target)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sig_x = filt(pred * pred) - mu_x2
-    sig_y = filt(target * target) - mu_y2
+    # clamp: windowed variance is mathematically >= 0
+    sig_x = jnp.maximum(filt(pred * pred) - mu_x2, 0.0)
+    sig_y = jnp.maximum(filt(target * target) - mu_y2, 0.0)
     sig_xy = filt(pred * target) - mu_xy
 
     c1 = 0.01 ** 2

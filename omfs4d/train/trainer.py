@@ -246,6 +246,7 @@ class AvatarTrainer:
                 np.asarray(self.faces), capacity,
                 seed=seed if seed is not None else self.cfg.seed,
                 sh_degree=self.cfg.sh_degree,
+                ref_verts=canonical_verts,
             )
         return TrainState(
             gaussians=g,

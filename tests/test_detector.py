@@ -33,7 +33,7 @@ def trained(model):
 
 def _heldout_px_error(model, params, key=123):
     sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
-    imgs, lbl = sampler.batch(jax.random.PRNGKey(key), 16)
+    imgs, lbl, _ = sampler.batch(jax.random.PRNGKey(key), 16)
     pred = det.net_apply(params, imgs)
     return float(jnp.mean(jnp.linalg.norm((pred - lbl) * SIZE, axis=-1)))
 
@@ -41,7 +41,7 @@ def _heldout_px_error(model, params, key=123):
 class TestSampler:
     def test_batch_shapes_and_ranges(self, model):
         sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
-        imgs, lbl = sampler.batch(jax.random.PRNGKey(0), 4)
+        imgs, lbl, _ = sampler.batch(jax.random.PRNGKey(0), 4)
         assert imgs.shape == (4, SIZE, SIZE, 3)
         assert lbl.shape == (4, model.lmk_faces_idx.shape[0], 2)
         assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
@@ -50,8 +50,8 @@ class TestSampler:
 
     def test_batches_differ_by_key(self, model):
         sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
-        a, _ = sampler.batch(jax.random.PRNGKey(1), 2)
-        b, _ = sampler.batch(jax.random.PRNGKey(2), 2)
+        a, _, _ = sampler.batch(jax.random.PRNGKey(1), 2)
+        b, _, _ = sampler.batch(jax.random.PRNGKey(2), 2)
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
@@ -73,7 +73,7 @@ class TestTraining:
     def test_detect_on_frame_stack(self, model, trained):
         # detect() must infer the train-time input size from the weights
         sampler = det.SyntheticFaceSampler(model, image_size=SIZE)
-        imgs, lbl = sampler.batch(jax.random.PRNGKey(7), 4)
+        imgs, lbl, _ = sampler.batch(jax.random.PRNGKey(7), 4)
         frames = (np.asarray(imgs) * 255).astype(np.uint8)
         lmk, valid = det.detect(trained, frames)
         assert lmk.shape == (4, model.lmk_faces_idx.shape[0], 2)

@@ -337,3 +337,44 @@ def test_tile_window_auto_grows(scene):
     trainer.train(_data(cam, verts, img), iterations=2, state=state,
                   log_every=1)
     assert trainer.render_cfg["max_tiles_per_gaussian"] > 1
+
+
+def test_dssim_bounded_on_smooth_images():
+    """D-SSIM must stay in [0, 1]: the windowed variance E[x^2] - mu^2 is
+    clamped at 0 (on TPU, bf16 matmul rounding once drove it negative on
+    smooth regions, exploding SSIM and destabilizing training — the blur
+    einsums now pin Precision.HIGHEST)."""
+    from omfs4d.train.losses import dssim_loss, ssim
+    rng = np.random.default_rng(0)
+    flat = jnp.full((96, 96, 3), 0.73, jnp.float32)
+    noisy = jnp.asarray(rng.uniform(0, 1, (96, 96, 3)), jnp.float32)
+    smooth = jnp.asarray(
+        np.linspace(0, 1, 96)[:, None, None] * np.ones((96, 96, 3)),
+        jnp.float32)
+    for a, b in [(flat, flat), (flat, noisy), (smooth, flat),
+                 (noisy, smooth), (noisy, noisy)]:
+        d = float(jax.jit(dssim_loss)(a, b))
+        assert -1e-5 <= d <= 1.0 + 1e-5, d
+    assert abs(float(ssim(flat, flat)) - 1.0) < 1e-5
+
+
+def test_knn_init_scales_bound_footprints(scene):
+    """With ref_verts, on-mesh init follows the simple-knn convention:
+    world sigma ~ mean 3-NN centroid distance, so large triangles no
+    longer produce giant screen footprints (init scales never exceed the
+    plain init, and large-triangle gaussians shrink)."""
+    from omfs4d.models.gaussians import (init_gaussians_on_mesh,
+                                         triangle_frames)
+    model, cam, verts, img = scene
+    faces = np.asarray(model.faces)
+    g0 = init_gaussians_on_mesh(faces, 2048)
+    g1 = init_gaussians_on_mesh(faces, 2048, ref_verts=np.asarray(verts))
+    ls0 = np.asarray(g0.log_scale)[np.asarray(g0.alive)]
+    ls1 = np.asarray(g1.log_scale)[np.asarray(g1.alive)]
+    assert (ls1 <= ls0 + 1e-6).all()
+    _, t_, s = triangle_frames(jnp.asarray(verts), model.faces)
+    s = np.asarray(s)
+    parents = np.asarray(g1.parent_face)[np.asarray(g1.alive)]
+    world1 = np.exp(ls1[:, 0]) * s[parents]
+    # uniform world footprints: spread is tight vs the raw triangle spread
+    assert world1.std() / world1.mean() < np.std(s) / np.mean(s)
