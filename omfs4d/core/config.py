@@ -90,7 +90,10 @@ class TrainConfig:
     prune_scale: float = 8.0        # prune gaussians larger than this (in triangle units)
     max_gaussians: int = 200_000
     batch_frames: int = 1           # frames per step (data-parallel axis)
-    optimize_flame: bool = False    # co-optimize tracked FLAME params
+    # co-optimize tracked FLAME pose/expression during avatar training —
+    # GaussianAvatars' default behavior; absorbs residual per-frame
+    # tracking error that otherwise caps reconstruction PSNR
+    optimize_flame: bool = True
     lr_flame_pose: float = 1e-5
     lr_flame_expr: float = 1e-4
     seed: int = 0

@@ -149,7 +149,9 @@ class ShardedAvatarTrainer:
         fp["quat_local"] = fp["quat_local"] / (
             jnp.linalg.norm(fp["quat_local"], axis=-1, keepdims=True) + 1e-12)
 
-        gnorm = jnp.linalg.norm(probe_grad, axis=-1)
+        # pixel -> NDC gradient units (see AvatarTrainer._train_step)
+        gnorm = jnp.linalg.norm(probe_grad, axis=-1) * (
+            max(self.width, self.height) * 0.5)
         new_state = TrainState(
             gaussians=with_floats(g, fp),
             opt_state=opt_state,

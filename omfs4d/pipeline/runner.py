@@ -186,8 +186,15 @@ class Pipeline:
             canonical_verts=np.asarray(verts[0]),
         )
         with stage_timer("train", self.events):
-            trainer.train(data, iterations=iterations, state=state,
-                          output_dir=output_dir, events=self.events)
+            state = trainer.train(data, iterations=iterations, state=state,
+                                  output_dir=output_dir, events=self.events)
+        if cfg.train.optimize_flame and state.flame_params is not None:
+            # export the co-optimized FLAME params: the avatar was trained
+            # against these poses, so the prediction renderer must re-pose
+            # from them (render_video picks this file up automatically)
+            np.savez(Path(output_dir) / "flame_param_refined.npz",
+                     **{k: np.asarray(v)
+                        for k, v in state.flame_params.items()})
 
         write_experiment_manifest(output_dir, data_dir, cfg.to_dict(),
                                   extra={"iterations": iterations or cfg.train.iterations})

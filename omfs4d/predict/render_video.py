@@ -163,8 +163,12 @@ def render_prediction(
             if renders.is_dir():
                 shutil.rmtree(renders)
 
-    modified = create_modified_dataset(str(data_dir), lefort_offset,
-                                       bsso_offset, deformation_map=deform)
+    refined = model_dir / "flame_param_refined.npz"
+    if refined.exists():
+        log.info("using co-optimized FLAME params from training")
+    modified = create_modified_dataset(
+        str(data_dir), lefort_offset, bsso_offset, deformation_map=deform,
+        refined_params=str(refined) if refined.exists() else None)
     try:
         renders_dir = train_dir / f"ours_{it}" / "renders"
         gt_dir = train_dir / f"ours_{it}" / "gt"

@@ -104,12 +104,20 @@ def create_modified_dataset(
     lefort_offset: float,
     bsso_offset: float,
     deformation_map: dict[str, Any] | None = None,
+    refined_params: str | None = None,
 ) -> str:
     """Temp dataset with surgically modified FLAME params.
 
     Mirrors the reference's structure handling (render_surgery.py:144-242):
     images symlinked, per-frame + batched npz rewritten, canonical asset +
     points3d copied, transforms updated to point at per-frame params.
+
+    `refined_params`: path to a batched npz of FLAME params co-optimized
+    during avatar training (model_dir/flame_param_refined.npz).  When
+    given, those replace the dataset's tracked params as the base the
+    surgical offsets apply to — the avatar was optimized against the
+    refined poses, so rendering with the originals reintroduces exactly
+    the per-frame tracking error co-optimization absorbed.
     """
     temp_dir = tempfile.mkdtemp(prefix="surgical_render_")
 
@@ -133,22 +141,48 @@ def create_modified_dataset(
 
     src_flame_params = os.path.join(data_dir, "flame_param")
     dst_flame_params = os.path.join(temp_dir, "flame_param")
-    if os.path.isdir(src_flame_params):
+    if refined_params is not None and os.path.exists(refined_params):
+        ref = {k: np.asarray(v) for k, v in np.load(refined_params).items()}
         os.makedirs(dst_flame_params, exist_ok=True)
-        for fname in os.listdir(src_flame_params):
-            if fname.endswith(".npz"):
-                modify_flame_params(
-                    os.path.join(src_flame_params, fname),
-                    os.path.join(dst_flame_params, fname),
-                    lefort_offset, bsso_offset, deformation_map=deformation_map,
-                )
-
-    src_flame = os.path.join(data_dir, "flame_param.npz")
-    if os.path.exists(src_flame):
+        T = ref["expr"].shape[0]
+        for i in range(T):
+            per = {
+                k: (v if k == "shape"
+                    or (v.ndim == 3 and v.shape[0] == 1) else v[i:i + 1])
+                for k, v in ref.items()
+            }
+            base = os.path.join(dst_flame_params, f"{i:05d}.base.npz")
+            np.savez(base, **per)
+            modify_flame_params(
+                base, os.path.join(dst_flame_params, f"{i:05d}.npz"),
+                lefort_offset, bsso_offset, deformation_map=deformation_map,
+            )
+            os.remove(base)
+        base = os.path.join(temp_dir, "flame_param.base.npz")
+        np.savez(base, **ref)
         modify_flame_params(
-            src_flame, os.path.join(temp_dir, "flame_param.npz"),
+            base, os.path.join(temp_dir, "flame_param.npz"),
             lefort_offset, bsso_offset, deformation_map=deformation_map,
         )
+        os.remove(base)
+    else:
+        if os.path.isdir(src_flame_params):
+            os.makedirs(dst_flame_params, exist_ok=True)
+            for fname in os.listdir(src_flame_params):
+                if fname.endswith(".npz"):
+                    modify_flame_params(
+                        os.path.join(src_flame_params, fname),
+                        os.path.join(dst_flame_params, fname),
+                        lefort_offset, bsso_offset,
+                        deformation_map=deformation_map,
+                    )
+
+        src_flame = os.path.join(data_dir, "flame_param.npz")
+        if os.path.exists(src_flame):
+            modify_flame_params(
+                src_flame, os.path.join(temp_dir, "flame_param.npz"),
+                lefort_offset, bsso_offset, deformation_map=deformation_map,
+            )
 
     for fname in ("points3d.ply", "canonical_flame_param.npz"):
         src = os.path.join(data_dir, fname)

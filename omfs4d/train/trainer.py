@@ -333,7 +333,11 @@ class AvatarTrainer:
                 flame_grads, state.flame_opt_state, flame0)
             flame_p = optax.apply_updates(flame0, f_updates)
 
-        gnorm = jnp.linalg.norm(probe_grad, axis=-1)
+        # NDC units: the probe cotangent is d(loss)/d(uv_pixels); CUDA 3DGS
+        # thresholds densification on NDC-space gradients (2e-4 default),
+        # which are (W/2)x larger.  Without this scaling the default
+        # threshold is never reached and densification silently no-ops.
+        gnorm = jnp.linalg.norm(probe_grad, axis=-1) * (max(W, H) * 0.5)
         new_state = TrainState(
             gaussians=g,
             opt_state=opt_state,

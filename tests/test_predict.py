@@ -193,3 +193,50 @@ class TestModifiedDataset:
         finally:
             import shutil
             shutil.rmtree(out, ignore_errors=True)
+
+
+def test_modified_dataset_uses_refined_params(tmp_path):
+    """When training co-optimized the FLAME params, the modified dataset's
+    per-frame/batched params must derive from the REFINED params (+ offsets),
+    not the dataset's original tracked params — the avatar was optimized
+    against the refined poses."""
+    import numpy as np
+    from omfs4d.io.dataset import default_flame_params
+    from omfs4d.predict.surgery import create_modified_dataset
+
+    T = 3
+    data_dir = tmp_path / "data"
+    (data_dir / "flame_param").mkdir(parents=True)
+    orig = default_flame_params(T, n_verts=50)
+    np.savez(data_dir / "flame_param.npz", **orig)
+    for i in range(T):
+        per = {k: (v if k == "shape" or (v.ndim == 3 and v.shape[0] == 1)
+                   else v[i:i + 1]) for k, v in orig.items()}
+        np.savez(data_dir / "flame_param" / f"{i:05d}.npz", **per)
+    import json
+    (data_dir / "transforms_train.json").write_text(json.dumps({
+        "frames": [{"timestep_index": i, "transform_matrix": np.eye(4).tolist()}
+                   for i in range(T)]}))
+
+    refined = {k: np.asarray(v).copy() for k, v in orig.items()}
+    refined["rotation"] = refined["rotation"] + 0.123      # the refinement
+    ref_path = tmp_path / "flame_param_refined.npz"
+    np.savez(ref_path, **refined)
+
+    out = create_modified_dataset(str(data_dir), 0.005, 0.0,
+                                  refined_params=str(ref_path))
+    got = np.load(f"{out}/flame_param/00001.npz")
+    np.testing.assert_allclose(got["rotation"], refined["rotation"][1:2],
+                               atol=1e-6)
+    # the surgical offset applied on top of the refined base
+    np.testing.assert_allclose(
+        got["translation"][:, 1], refined["translation"][1:2, 1] + 0.005,
+        atol=1e-6)
+    batched = np.load(f"{out}/flame_param.npz")
+    np.testing.assert_allclose(batched["rotation"], refined["rotation"],
+                               atol=1e-6)
+    # without refined_params the original base is used
+    out2 = create_modified_dataset(str(data_dir), 0.005, 0.0)
+    got2 = np.load(f"{out2}/flame_param/00001.npz")
+    np.testing.assert_allclose(got2["rotation"], orig["rotation"][1:2],
+                               atol=1e-6)
