@@ -378,3 +378,44 @@ def test_knn_init_scales_bound_footprints(scene):
     world1 = np.exp(ls1[:, 0]) * s[parents]
     # uniform world footprints: spread is tight vs the raw triangle spread
     assert world1.std() / world1.mean() < np.std(s) / np.mean(s)
+
+
+def test_multiframe_training_converges(scene):
+    """Multi-view training improves reconstruction on ALL frames (this was
+    the gap that let the 256^2 e2e divergence ship: every training test was
+    single-frame).  Three orbit views, NDC-unit densification active."""
+    model, cam, verts, img = scene
+    gt = textured_gt_avatar(model, seed=0)
+    c2ws = orbit_c2w_nerf(8)[[0, 3, 6]]
+    fl = W * 1.8
+    cams = [camera_from_nerf(c, fl, fl, W / 2, H / 2, W, H) for c in c2ws]
+    imgs = np.stack([
+        np.clip(np.asarray(render_avatar_frame(
+            gt, verts, model.faces, c, W, H, backend="never")[0]), 0, 1) * 255
+        for c in cams
+    ]).astype(np.uint8)
+    data = {
+        "images": imgs,
+        "verts": np.repeat(np.asarray(verts)[None], 3, 0),
+        "w2c": np.stack([np.asarray(c.w2c) for c in cams]),
+        "fx": np.asarray([c.fx for c in cams], np.float32),
+        "fy": np.asarray([c.fy for c in cams], np.float32),
+        "cx": np.asarray([c.cx for c in cams], np.float32),
+        "cy": np.asarray([c.cy for c in cams], np.float32),
+    }
+    cfg = TrainConfig(iterations=250, densify_from=50, densify_interval=100,
+                      densify_until_frac=0.6, opacity_reset_interval=0,
+                      max_gaussians=4096, batch_frames=1)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=256, use_pallas="never")
+    state = trainer.init_state(capacity=4096,
+                               canonical_verts=np.asarray(verts))
+    n0 = int(np.asarray(state.gaussians.alive).sum())
+    state = trainer.train(data, state=state, log_every=1000)
+    vals = []
+    for i, c in enumerate(cams):
+        out = trainer.render_frame(state, verts, c)
+        vals.append(float(psnr(out, jnp.asarray(imgs[i] / 255.0))))
+    assert min(vals) > 20.0, vals
+    # NDC-unit pressure actually densifies on a real scene
+    assert int(np.asarray(state.gaussians.alive).sum()) > n0
