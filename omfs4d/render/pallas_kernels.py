@@ -94,7 +94,17 @@ def _alpha_matrix(packed, tile: int, grid_w: int, K: int, tid):
     return a, a_full, grad_ok, dx, dy
 
 
-K_SMALL = 128   # low-occupancy fast path: K^2 matmul work drops 16x
+K_SMALL = 128   # smallest occupancy level: K^2 matmul work drops 16x
+
+
+def _k_levels(K: int) -> list[int]:
+    """Occupancy fast-path levels below K.  Per-tile lists are
+    count-contiguous, so a tile whose count fits a level runs the
+    composite at that K.  One level (K_SMALL) measured best on chip: a
+    denser ladder's extra branches cost more than the mid-occupancy
+    savings (the K^2 matmul is MXU-cheap; the per-level dispatch is not).
+    """
+    return [K_SMALL] if K > K_SMALL else []
 
 
 def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
@@ -130,30 +140,29 @@ def _fwd_kernel(packed_ref, color_out_ref, alpha_out_ref,
 
     opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
     # background tiles (no live gaussian) skip all MXU work; lists are
-    # count-contiguous, so "nothing live beyond K_SMALL" <=> count <= K_SMALL
+    # count-contiguous, so "nothing live beyond level l" <=> count <= l
     empty = jnp.max(opac_row) <= 0.0
-    small = (K > K_SMALL) and (jnp.max(opac_row[:, K_SMALL:]) <= 0.0)
 
     @pl.when(empty)
     def _():
         color_out_ref[0] = jnp.zeros((3, P), jnp.float32)
         alpha_out_ref[0] = jnp.zeros((1, P), jnp.float32)
 
-    if K > K_SMALL:
-        @pl.when(jnp.logical_not(empty) & small)
-        def _():
-            _fwd_body(packed[:, :K_SMALL], color_out_ref, alpha_out_ref,
-                      tile, grid_w, K_SMALL, tid)
+    not_prev = jnp.logical_not(empty)
+    for lvl in _k_levels(K):
+        fits = jnp.max(opac_row[:, lvl:]) <= 0.0
 
-        @pl.when(jnp.logical_not(empty) & jnp.logical_not(small))
-        def _():
-            _fwd_body(packed, color_out_ref, alpha_out_ref,
-                      tile, grid_w, K, tid)
-    else:
-        @pl.when(jnp.logical_not(empty))
-        def _():
-            _fwd_body(packed, color_out_ref, alpha_out_ref,
-                      tile, grid_w, K, tid)
+        @pl.when(not_prev & fits)
+        def _(lvl=lvl):
+            _fwd_body(packed[:, :lvl], color_out_ref, alpha_out_ref,
+                      tile, grid_w, lvl, tid)
+
+        not_prev = not_prev & jnp.logical_not(fits)
+
+    @pl.when(not_prev)
+    def _():
+        _fwd_body(packed, color_out_ref, alpha_out_ref,
+                  tile, grid_w, K, tid)
 
 
 def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
@@ -232,27 +241,26 @@ def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
 
     opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
     empty = jnp.max(opac_row) <= 0.0
-    small = (K > K_SMALL) and (jnp.max(opac_row[:, K_SMALL:]) <= 0.0)
 
     @pl.when(empty)
     def _():
         dpacked_ref[0] = jnp.zeros((N_ROWS, K), jnp.float32)
 
-    if K > K_SMALL:
-        @pl.when(jnp.logical_not(empty) & small)
-        def _():
-            _bwd_body(packed[:, :K_SMALL], dcol_ref, dalpha_ref, dpacked_ref,
-                      tile, grid_w, K_SMALL, K, tid)
+    not_prev = jnp.logical_not(empty)
+    for lvl in _k_levels(K):
+        fits = jnp.max(opac_row[:, lvl:]) <= 0.0
 
-        @pl.when(jnp.logical_not(empty) & jnp.logical_not(small))
-        def _():
-            _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
-                      tile, grid_w, K, K, tid)
-    else:
-        @pl.when(jnp.logical_not(empty))
-        def _():
-            _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
-                      tile, grid_w, K, K, tid)
+        @pl.when(not_prev & fits)
+        def _(lvl=lvl):
+            _bwd_body(packed[:, :lvl], dcol_ref, dalpha_ref, dpacked_ref,
+                      tile, grid_w, lvl, K, tid)
+
+        not_prev = not_prev & jnp.logical_not(fits)
+
+    @pl.when(not_prev)
+    def _():
+        _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
+                  tile, grid_w, K, K, tid)
 
 
 def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):
