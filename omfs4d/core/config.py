@@ -83,6 +83,9 @@ class TrainConfig:
     lambda_dssim: float = 0.2
     densify_from: int = 500
     densify_until_frac: float = 0.5
+    # 300 measured best end-to-end (26.6 dB selfrecon @256): CUDA's 100-iter
+    # cadence churns the cloud faster than it re-converges here, costing
+    # ~4.5 dB despite growing 3x more gaussians
     densify_interval: int = 300
     densify_grad_threshold: float = 2e-4
     opacity_reset_interval: int = 3000

@@ -179,19 +179,42 @@ class ShardedAvatarTrainer:
             in_specs=(jax.tree_util.tree_map(lambda _: P(ax),
                                              state.gaussians),
                       P(ax), P(ax), P(ax)),
-            out_specs=jax.tree_util.tree_map(lambda _: P(ax),
-                                             state.gaussians),
+            out_specs=(jax.tree_util.tree_map(lambda _: P(ax),
+                                              state.gaussians),
+                       P(ax), P(ax)),
             check_vma=False,
         )
         def _local(g_loc, accum, count, key):
             return densify_prune_arrays(g_loc, accum, count, key[0],
                                         max_new, cfg)
 
-        g2 = _local(state.gaussians, state.grad_accum, state.grad_count, keys)
+        g2, slots, ok = _local(state.gaussians, state.grad_accum,
+                               state.grad_count, keys)
         N = state.gaussians.capacity
+        cap_local = N // self.n_dev
+
+        # Adam moments survive densification; only freshly written local
+        # slots get zeroed — same tensor surgery as the replicated trainer,
+        # done per-shard (slots are shard-local indices)
+        from omfs4d.train.trainer import zero_opt_rows
+        opt_specs = jax.tree_util.tree_map(
+            lambda l: P(ax) if (hasattr(l, "ndim") and l.ndim >= 1
+                                and l.shape[0] == N) else P(),
+            state.opt_state)
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(opt_specs, P(ax), P(ax)),
+            out_specs=opt_specs,
+            check_vma=False,
+        )
+        def _fix(opt_loc, slots_, ok_):
+            return zero_opt_rows(opt_loc, slots_, ok_, cap_local)
+
+        opt2 = _fix(state.opt_state, slots, ok)
         return TrainState(
             gaussians=g2,
-            opt_state=self.optimizer.init(float_fields(g2)),
+            opt_state=opt2,
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
             grad_count=jnp.zeros(N, jnp.float32),

@@ -122,7 +122,7 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
 
 def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
                          grad_count: jnp.ndarray, key: jnp.ndarray,
-                         max_new: int, cfg: TrainConfig) -> GaussianAvatar:
+                         max_new: int, cfg: TrainConfig):
     """Fixed-capacity densify/clone/split/prune on raw gaussian arrays.
 
     Pure function of one capacity block, so it runs either globally
@@ -174,7 +174,23 @@ def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
         & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
         & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
     )
-    return g2._replace(alive=alive)
+    return g2._replace(alive=alive), slots, ok
+
+
+def zero_opt_rows(opt_state, slots: jnp.ndarray, ok: jnp.ndarray, capacity: int):
+    """Zero optimizer-moment rows for freshly written gaussian slots.
+
+    Every capacity-leading array leaf in the optax state (Adam mu/nu per
+    parameter) gets rows `slots[ok]` zeroed; scalars (step counts) pass
+    through."""
+    def fix(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == capacity):
+            sel = ok.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return leaf.at[slots].set(
+                jnp.where(sel, jnp.zeros_like(leaf[slots]), leaf[slots]))
+        return leaf
+    return jax.tree_util.tree_map(fix, opt_state)
 
 
 class AvatarTrainer:
@@ -359,12 +375,20 @@ class AvatarTrainer:
 
     # ── densify / prune (jit, fixed capacity) ────────────────
     def _densify_prune(self, state: TrainState, key: jnp.ndarray, max_new: int):
-        g2 = densify_prune_arrays(state.gaussians, state.grad_accum,
-                                  state.grad_count, key, max_new, self.cfg)
+        g2, slots, ok = densify_prune_arrays(
+            state.gaussians, state.grad_accum, state.grad_count, key,
+            max_new, self.cfg)
         N = state.gaussians.capacity
+        # Adam moments SURVIVE densification (CUDA 3DGS does the same
+        # tensor surgery): only the freshly written slots get zeroed
+        # moments.  Re-initializing the whole optimizer every densify
+        # event — the old behavior — throws away warmup for every
+        # surviving gaussian, which at 3DGS's 100-iter densify cadence
+        # means Adam never leaves warmup.
+        opt_state = zero_opt_rows(state.opt_state, slots, ok, N)
         return TrainState(
             gaussians=g2,
-            opt_state=self.optimizer.init(float_fields(g2)),
+            opt_state=opt_state,
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
             grad_count=jnp.zeros(N, jnp.float32),
