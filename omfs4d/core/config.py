@@ -134,6 +134,7 @@ class PipelineConfig:
     # preprocess_video.py:132): none | border_color | median_background |
     # neural (self-trained, track/segnet.py)
     matting: str = "border_color"
+    matting_train_steps: int = 800   # neural matting self-training budget
 
 
 @dataclass

@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None):
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--size", type=int, default=128)
 
+    p = sub.add_parser("prepare-models",
+                       help="pre-train + cache the neural landmark detector "
+                            "and matting net (otherwise trained lazily on "
+                            "first pipeline use)")
+    _add_common(p)
+    p.add_argument("--skip-detector", action="store_true")
+    p.add_argument("--skip-matting", action="store_true")
+
     p = sub.add_parser("preprocess", help="video -> frames")
     _add_common(p)
     p.add_argument("--video", required=True)
@@ -114,6 +122,23 @@ def main(argv: list[str] | None = None):
     pipe = Pipeline(cfg, getattr(args, "workdir", "omfs4d_work"),
                     flame_asset=getattr(args, "flame_asset", "") or None)
 
+    if args.cmd == "prepare-models":
+        # parity surface for the reference's model-download step (MediaPipe
+        # / face-alignment weights fetched at env setup); here the models
+        # are self-trained once and cached under OMFS4D_CACHE
+        if not args.skip_detector:
+            from omfs4d.track.detector import get_or_train_detector
+            get_or_train_detector(pipe.model,
+                                  image_size=cfg.track.detector_size,
+                                  steps=cfg.track.detector_steps,
+                                  backend=cfg.render.use_pallas)
+            log.info("landmark detector ready")
+        if not args.skip_matting:
+            from omfs4d.track.segnet import get_or_train_segnet
+            get_or_train_segnet(pipe.model, backend=cfg.render.use_pallas,
+                                steps=cfg.pipeline.matting_train_steps)
+            log.info("matting net ready")
+        return 0
     if args.cmd == "preprocess":
         out = pipe.preprocess(args.video)
         log.info(f"frames at {out}")

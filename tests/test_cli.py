@@ -61,3 +61,21 @@ def test_cli_synthetic_data(tmp_path):
     assert len(list((out / "images").glob("*.png"))) == 6
     assert (out / "flame_param.npz").exists()
     assert (out / "transforms_train.json").exists()
+
+
+def test_cli_prepare_models(tmp_path, monkeypatch):
+    """`cli prepare-models` trains + caches the neural detector and the
+    matting net (the framework's analogue of the reference's external
+    model-weight downloads)."""
+    monkeypatch.setenv("OMFS4D_CACHE", str(tmp_path / "cache"))
+    rc = cli_main([
+        "prepare-models", "--workdir", str(tmp_path / "wd"),
+        "track.detector_steps=10", "track.detector_size=64",
+        "pipeline.matting_train_steps=10",
+        "render.use_pallas=never",
+    ])
+    assert rc == 0
+    cache = tmp_path / "cache"
+    names = [p.name for p in cache.iterdir()]
+    assert any(n.startswith("landmark_net") for n in names), names
+    assert any(n.startswith("segnet") for n in names), names
