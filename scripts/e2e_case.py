@@ -32,12 +32,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import numpy as np
-    import jax
+    print(f"[e2e] backend={jax.default_backend()}", flush=True)
 
     from omfs4d.core.config import Config
     from omfs4d.io.synthetic import make_synthetic_dataset
@@ -62,6 +64,7 @@ def main():
         return _T()
 
     # synthetic "patient capture" -> video (no landmarks anywhere on disk)
+    print("[e2e] generating synthetic capture...", flush=True)
     case = make_synthetic_dataset(work / "case", n_frames=args.frames,
                                   width=S, height=S, backend=use_pallas)
     video = stitch_video(work / "case" / "images", work / "input.mp4", fps=25)
