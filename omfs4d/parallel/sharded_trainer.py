@@ -231,7 +231,8 @@ class ShardedAvatarTrainer:
     # ── training loop (mirrors AvatarTrainer.train, B=1) ─────
     def train(self, data: dict, iterations: int | None = None,
               state: TrainState | None = None, rng_seed: int = 0,
-              log_every: int = 100) -> TrainState:
+              log_every: int = 100, output_dir=None,
+              events=None) -> TrainState:
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         state = state or self.init_state()
@@ -240,17 +241,37 @@ class ShardedAvatarTrainer:
         T = data["images"].shape[0]
         data = {k: jnp.asarray(v) for k, v in data.items()}
         densify_until = int(iterations * cfg.densify_until_frac)
+        save_iters = sorted({max(iterations // 4, 1),
+                             max(iterations // 2, 1), iterations})
 
         for it in range(1, iterations + 1):
             idx = int(rng.integers(0, T))
             state, metrics = self.step(state, data, idx)
             if it % log_every == 0 or it == iterations:
+                m = {k: float(v) for k, v in metrics.items()}
                 log.info(f"[sharded] iter {it}/{iterations} "
-                         f"loss={float(metrics['loss']):.4f} "
-                         f"alive={int(metrics['n_alive'])}")
+                         f"loss={m['loss']:.4f} alive={int(m['n_alive'])}")
+                if events is not None:
+                    events.emit("train_step", iter=it, **m)
             if (cfg.densify_interval > 0
                     and cfg.densify_from <= it <= densify_until
                     and it % cfg.densify_interval == 0):
                 key, sub = jax.random.split(key)
                 state = self.densify(state, sub)
+            if output_dir is not None and it in save_iters:
+                self.save_checkpoint(state, output_dir, it)
         return state
+
+    def save_checkpoint(self, state: TrainState, output_dir, iteration: int):
+        """Same artifact layout as AvatarTrainer (point_cloud PLY + orbax);
+        sharded arrays are fully addressable on one process, so the host
+        gather is implicit."""
+        from omfs4d.train.checkpoints import export_point_cloud, save_state
+        from pathlib import Path
+
+        out = Path(output_dir)
+        save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        export_point_cloud(
+            out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
+            jax.tree_util.tree_map(np.asarray, state.gaussians))
+        log.info(f"[sharded] checkpoint saved at iteration {iteration}")

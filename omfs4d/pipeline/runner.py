@@ -187,18 +187,46 @@ class Pipeline:
             train_cfg = dataclasses.replace(train_cfg, densify_interval=100)
             log.info("hires dataset: densify_interval 300 -> 100")
 
-        trainer = AvatarTrainer(
-            np.asarray(self.model.faces), train_cfg, W, H,
-            white_background=cfg.render.white_background,
-            tile=cfg.render.tile,
-            max_per_tile=cfg.render.max_per_tile,
-            use_pallas=cfg.render.use_pallas,
-            flame_model=self.model if cfg.train.optimize_flame else None,
-        )
-        state = trainer.init_state(
-            flame_params=params if cfg.train.optimize_flame else None,
-            canonical_verts=np.asarray(verts[0]),
-        )
+        if cfg.parallel.n_gauss > 1:
+            # model-parallel training: gaussians + optimizer state sharded
+            # over the `gauss` mesh axis (parallel.sharded_trainer); no
+            # FLAME co-optimization on this path yet
+            import jax
+            from jax.sharding import Mesh
+            from omfs4d.models.gaussians import init_gaussians_on_mesh
+            from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+
+            n = cfg.parallel.n_gauss
+            devices = jax.devices()[:n]
+            if len(devices) < n:
+                raise RuntimeError(
+                    f"parallel.n_gauss={n} but only {len(devices)} devices")
+            mesh = Mesh(np.asarray(devices), ("gauss",))
+            trainer = ShardedAvatarTrainer(
+                np.asarray(self.model.faces), train_cfg, W, H, mesh=mesh,
+                white_background=cfg.render.white_background,
+                tile=cfg.render.tile,
+                max_per_tile=cfg.render.max_per_tile,
+            )
+            capacity = (train_cfg.max_gaussians // n) * n
+            g0 = init_gaussians_on_mesh(
+                np.asarray(self.model.faces), capacity,
+                seed=train_cfg.seed, sh_degree=train_cfg.sh_degree,
+                ref_verts=np.asarray(verts[0]))
+            state = trainer.init_state(gaussians=g0)
+        else:
+            trainer = AvatarTrainer(
+                np.asarray(self.model.faces), train_cfg, W, H,
+                white_background=cfg.render.white_background,
+                tile=cfg.render.tile,
+                max_per_tile=cfg.render.max_per_tile,
+                use_pallas=cfg.render.use_pallas,
+                flame_model=self.model if cfg.train.optimize_flame else None,
+            )
+            state = trainer.init_state(
+                flame_params=params if cfg.train.optimize_flame else None,
+                canonical_verts=np.asarray(verts[0]),
+            )
         with stage_timer("train", self.events):
             state = trainer.train(data, iterations=iterations, state=state,
                                   output_dir=output_dir, events=self.events)

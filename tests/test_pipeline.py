@@ -209,3 +209,32 @@ def test_reference_layout_dataset_trains_and_predicts(tmp_path):
                           jnp.asarray(read_image(g) / 255.0)))
             for r, g in zip(renders, gts)]
     assert float(np.mean(vals)) > 13.0, vals
+
+
+def test_pipeline_gaussian_sharded_training(tmp_path):
+    """parallel.n_gauss > 1 routes the train stage through the
+    model-parallel ShardedAvatarTrainer (gaussians + Adam moments behind
+    P('gauss')) and still produces the standard model artifacts that the
+    prediction renderer consumes."""
+    from omfs4d.io.synthetic import make_synthetic_dataset
+
+    S, T = 48, 3
+    case = make_synthetic_dataset(tmp_path / "case", n_frames=T,
+                                  width=S, height=S, n_vertices=5143,
+                                  backend="never")
+    cfg = Config()
+    cfg.pipeline.min_train_frames = 2
+    cfg.render.use_pallas = "never"
+    cfg.render.max_per_tile = 128
+    cfg.train.max_gaussians = 4096
+    cfg.train.densify_interval = 4
+    cfg.train.densify_from = 2
+    cfg.train.opacity_reset_interval = 0
+    cfg.parallel.n_gauss = 4
+    pipe = Pipeline(cfg, tmp_path / "wd")
+    model_dir = pipe.train(case["path"], iterations=8)
+    pc = model_dir / "point_cloud" / "iteration_8" / "point_cloud.ply"
+    assert pc.exists()
+    result = pipe.render_surgery(model_dir, case["path"],
+                                 tmp_path / "pred.mp4", 2.0, 1.0)
+    assert Path(result["video"]).exists()
