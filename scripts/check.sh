@@ -18,5 +18,9 @@ img = jax.jit(fn)(*args); img.block_until_ready()
 print('entry OK', img.shape)
 "
 
+echo "== e2e smoke (CPU, ~10 min): video -> neural landmarks -> avatar -> prediction =="
+python -u scripts/e2e_case.py --size 64 --frames 4 --iters 120 --cpu \
+    --workdir /tmp/omfs4d_check_e2e --out /tmp/omfs4d_check_e2e.json
+
 echo "== benchmark (current backend) =="
 python bench.py --quick
