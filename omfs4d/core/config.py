@@ -48,6 +48,10 @@ class TrackConfig:
     steps_rgb_sequential: int = 30       # per-frame (warm-start scan over T)
     steps_global: int = 240              # batched steps per global epoch
     epochs_global: int = 2
+    # photometric stages at 1/d resolution (ref --data.n-downsample-rgb,
+    # preprocess_video.py:169; -Downsample, run_full_pipeline_conda.ps1).
+    # The pipeline auto-picks 2 for >=384px frames when left at 1.
+    rgb_downsample: int = 1
     lr: float = 1e-2
     photometric: bool = True
     photometric_backend: str = "splat"   # splat (gaussian) | mesh (halfplane)

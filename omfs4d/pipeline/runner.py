@@ -98,8 +98,17 @@ class Pipeline:
                                       train_steps=cfg.pipeline.matting_train_steps)
                     masks = compute_masks(frames, method=cfg.pipeline.matting,
                                           **mat_kw)
+                track_cfg = cfg.track
+                if track_cfg.rgb_downsample == 1 and max(W, H) >= 384:
+                    # the reference's standard tuning for hi-res captures
+                    # (-Downsample 2 avoids the "3h texture grind",
+                    # run_full_pipeline_conda.ps1:10)
+                    import dataclasses
+                    track_cfg = dataclasses.replace(track_cfg,
+                                                    rgb_downsample=2)
+                    log.info("hires frames: photometric stages at 1/2 res")
                 tracker = FlameTracker(
-                    self.model, cfg.track, camera, (W, H),
+                    self.model, track_cfg, camera, (W, H),
                     max_per_tile=cfg.render.max_per_tile,
                     use_pallas=cfg.render.use_pallas,
                 )

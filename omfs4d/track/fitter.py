@@ -102,6 +102,17 @@ class FlameTracker:
         self.backend = use_pallas if use_pallas != "auto" else (
             "always" if jax.default_backend() == "tpu" else "never"
         )
+        # photometric stages may run at reduced resolution (the reference's
+        # --data.n-downsample-rgb tuning surface, preprocess_video.py:169,
+        # run_full_pipeline_conda.ps1 -Downsample); landmark terms are
+        # resolution-free so only the RGB render/compare shrinks
+        d = max(int(getattr(cfg, "rgb_downsample", 1)), 1)
+        self.rgb_downsample = d
+        self.p_width, self.p_height = self.width // d, self.height // d
+        self.p_camera = camera if d == 1 else Camera(
+            w2c=camera.w2c, fx=camera.fx / d, fy=camera.fy / d,
+            cx=camera.cx / d, cy=camera.cy / d,
+            width=self.p_width, height=self.p_height)
         self._step_cache: dict = {}
 
     # ── parameter pytree ─────────────────────────────────────
@@ -134,6 +145,20 @@ class FlameTracker:
             args["static_offset"] = p["static_offset"]
         return args
 
+    def _prep_frames(self, frames):
+        """uint8 frame stack -> device array, downsampled once when the
+        photometric stages run at reduced resolution."""
+        if frames is None:
+            return None
+        f = jnp.asarray(frames)
+        if self.rgb_downsample > 1:
+            T = f.shape[0]
+            f = jax.image.resize(
+                f.astype(jnp.float32),
+                (T, self.p_height, self.p_width, 3), "linear")
+            f = jnp.clip(f, 0, 255).astype(jnp.uint8)
+        return f
+
     def _landmark_loss(self, p: dict, target_lmk, valid_mask):
         verts = flame_forward(self.model, self._flame_args(p))
         lmk3d = flame_landmarks(self.model, verts)                 # (T, L, 3)
@@ -156,8 +181,8 @@ class FlameTracker:
 
             def one(v, gt):
                 img, _ = rasterize_mesh(
-                    v, self.model.faces, face_colors, self.camera,
-                    self.width, self.height, face_opacity=0.98,
+                    v, self.model.faces, face_colors, self.p_camera,
+                    self.p_width, self.p_height, face_opacity=0.98,
                     background=bg, tile=self.tile,
                     max_per_tile=self.max_per_tile,
                     vertex_interp=True,
@@ -171,8 +196,8 @@ class FlameTracker:
                     avatar, v, self.model.faces
                 )
                 img, _ = rasterize(
-                    means, rot, scales, opac, cols, self.camera,
-                    self.width, self.height, background=bg,
+                    means, rot, scales, opac, cols, self.p_camera,
+                    self.p_width, self.p_height, background=bg,
                     tile=self.tile, max_per_tile=self.max_per_tile,
                     backend=self.backend,
                 )
@@ -368,7 +393,7 @@ class FlameTracker:
         data = {
             "landmarks": jnp.asarray(landmarks, jnp.float32),
             "valid": jnp.asarray(valid),
-            "frames": jnp.asarray(frames) if frames is not None else None,
+            "frames": self._prep_frames(frames),
         }
         p = init_params or self.init_params(T)
 

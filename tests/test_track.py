@@ -211,3 +211,49 @@ def test_sequential_tracking_long_motion():
 
     assert err_seq < 0.15, f"sequential stage failed to track: {err_seq:.3f}"
     assert err_seq <= err_batched + 0.02, (err_seq, err_batched)
+
+
+def test_rgb_downsample_photometric(tmp_path):
+    """rgb_downsample=2 (the reference's --data.n-downsample-rgb surface)
+    runs the photometric stages at half resolution and still reduces
+    photometric error on synthetic GT."""
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    S = 64
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=500))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.5 * S,
+                         width=S, height=S)
+    gt = {"shape": jnp.zeros(10), "expr": jnp.zeros((2, 10))}
+    avatar = textured_gt_avatar(model)
+    verts = flame_forward(model, gt)
+    frames = np.stack([
+        np.clip(np.asarray(render_avatar_frame(
+            avatar, verts[i], model.faces, cam, S, S, backend="never",
+            max_per_tile=128)[0]), 0, 1) * 255
+        for i in range(2)
+    ]).astype(np.uint8)
+
+    cfg = TrackConfig(n_shape=10, n_expr=10, photometric=True,
+                      use_static_offset=False, rgb_downsample=2,
+                      steps_lmk_init_rigid=5, steps_lmk_init_all=5,
+                      steps_rgb_init_texture=25, steps_rgb_init_all=5,
+                      steps_rgb_init_offset=0, steps_rgb_sequential=0,
+                      steps_global=5, epochs_global=1)
+    tracker = FlameTracker(model, cfg, cam, (S, S), max_per_tile=128,
+                           use_pallas="never")
+    assert tracker.p_width == S // 2 and tracker.p_camera.width == S // 2
+
+    p = tracker.init_params(2)
+    data = {"landmarks": jnp.zeros((2, model.lmk_faces_idx.shape[0], 2)),
+            "valid": jnp.zeros(2, bool),
+            "frames": tracker._prep_frames(frames)}
+    assert data["frames"].shape == (2, S // 2, S // 2, 3)
+    l0 = float(tracker._photometric_loss(p, data["frames"],
+                                         jnp.zeros((1,), jnp.int32)))
+    from omfs4d.core.logging import EventLogger
+    p = tracker._run_stage("tex", p, 40, ("texture",), 0.0, 1.0, data,
+                           EventLogger())
+    l1 = float(tracker._photometric_loss(p, data["frames"],
+                                         jnp.zeros((1,), jnp.int32)))
+    assert l1 < l0 * 0.7, (l0, l1)
