@@ -161,7 +161,10 @@ class PlanningSession:
         segment-multiselect export, app.py:946-1022)."""
         segs = segments or self.apply_movement()
         combined = None
-        for key in include or self.ALL_SEGMENTS:
+        # None = "all segments"; an explicitly empty selection falls through
+        # to the "nothing to export" error instead of silently exporting all
+        selected = self.ALL_SEGMENTS if include is None else include
+        for key in selected:
             seg = segs.get(key)
             if seg is not None and seg.n_points:
                 combined = seg if combined is None else combined.merge(seg)

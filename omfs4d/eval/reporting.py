@@ -128,6 +128,10 @@ def score_frame_pairs(
     Pairs are grouped by image shape and scored with the batched metrics —
     one numpy reduction per shape group instead of per frame.
     """
+    # progress denominator spans ALL manifest rows, not just the pairs that
+    # exist on disk — trailing missing renders must not shift the view-bucket
+    # assignment (parity: validation_reporting.py:83)
+    denom = max([1] + [int(r["index"]) for r in rows])
     indices, names, renders, gts = [], [], [], []
     for row in rows:
         name = row["source"]
@@ -139,8 +143,6 @@ def score_frame_pairs(
             gts.append(read_image(gp))
     if not indices:
         return []
-
-    denom = max(1, max(indices))
     progress = np.asarray(indices, np.float64) / denom
     buckets = bucket_batch(progress)
 
