@@ -9,6 +9,8 @@ from omfs4d.eval.reporting import bucket, generate_report, psnr, ssim_global
 from omfs4d.headrecon.pipeline import (
     build_canonical_head,
     evaluate_head_coverage,
+    evaluate_multi_coverage,
+    fit_shared_shape,
     ingest_sequences,
     register_sequences,
 )
@@ -100,3 +102,87 @@ class TestHeadRecon:
         report = evaluate_head_coverage(root / "seq_a", out)
         assert report["total_frames"] == 20
         assert report["buckets"]["front"] > 0
+
+        multi = evaluate_multi_coverage(manifest, out)
+        assert multi["sequence_count"] == 2
+        assert multi["merged_buckets"]["front"] == 2 * report["buckets"]["front"]
+
+    def test_registration_from_tracked_poses(self, tmp_path):
+        """Two tracked sequences of the same head, the second with a known
+        rigid pose offset: register_sequences must recover the relative
+        transform that maps sequence-b's camera frame into sequence-a's."""
+        root = tmp_path / "captures"
+        rot_a = np.array([0.0, 0.2, 0.0], np.float32)
+        trans_a = np.array([0.01, 0.0, -0.02], np.float32)
+        rot_b = np.array([0.0, -0.9, 0.1], np.float32)
+        trans_b = np.array([-0.03, 0.02, 0.05], np.float32)
+        for name, rot, trans in (("seq_a", rot_a, trans_a),
+                                 ("seq_b", rot_b, trans_b)):
+            d = root / name
+            (d / "images").mkdir(parents=True)
+            (d / "transforms_train.json").write_text(json.dumps({
+                "frames": [{"timestep_index": 0}]}))
+            np.savez(d / "flame_param.npz",
+                     rotation=rot[None], translation=trans[None])
+        out = tmp_path / "out"
+        manifest = ingest_sequences(root, out)
+        table = json.loads(register_sequences(manifest, out).read_text())
+        regs = {r["name"]: r for r in table["registrations"]}
+        assert regs["seq_a"]["canonical"]
+        assert regs["seq_a"]["residual"] == 0.0
+        # residual for the tracked pair is computable and ~0 (not -1 unknown)
+        assert 0.0 <= regs["seq_b"]["residual"] < 1e-5
+
+        # the transform maps seq_b head points into seq_a's camera frame:
+        # check on the head origin (translation) and a second point
+        from omfs4d.headrecon.pipeline import _aa_to_matrix
+        T_rel = np.asarray(regs["seq_b"]["transform"])
+        Ra, Rb = _aa_to_matrix(rot_a), _aa_to_matrix(rot_b)
+        for p_head in (np.zeros(3), np.array([0.1, -0.05, 0.2])):
+            p_a = Ra @ p_head + trans_a
+            p_b = Rb @ p_head + trans_b
+            p_mapped = T_rel[:3, :3] @ p_b + T_rel[:3, 3]
+            np.testing.assert_allclose(p_mapped, p_a, atol=1e-6)
+
+    def test_fit_shared_shape_two_sequences(self):
+        """Joint identity fit across two sequences: one shape vector,
+        per-sequence frame params split back to the right lengths."""
+        import jax.numpy as jnp
+        from omfs4d.core.config import TrackConfig
+        from omfs4d.models.assets import synthetic_flame_asset
+        from omfs4d.models.flame import (
+            FlameModel, flame_forward, flame_landmarks)
+        from omfs4d.ops.camera import look_at_camera, project_points
+        from omfs4d.track.fitter import FlameTracker
+
+        W = H = 96
+        model = FlameModel.from_asset(
+            synthetic_flame_asset(n_vertices=500, seed=0))
+        cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=W * 1.6,
+                             width=W, height=H)
+        lengths = (3, 5)
+        seq_lmks = []
+        for Tn, yaw in zip(lengths, (0.1, -0.2)):
+            gt = {"shape": jnp.zeros(300),
+                  "expr": jnp.zeros((Tn, 100)),
+                  "rotation": jnp.zeros((Tn, 3)).at[:, 1].set(yaw)}
+            verts = flame_forward(model, gt)
+            lmk3d = flame_landmarks(model, verts)
+            lmk2d = np.stack([np.asarray(project_points(cam, lmk3d[i])[0])
+                              for i in range(Tn)])
+            seq_lmks.append((lmk2d, np.ones(Tn, bool)))
+
+        cfg = TrackConfig(n_shape=20, n_expr=10,
+                          steps_lmk_init_rigid=80, steps_lmk_init_all=80,
+                          photometric=False, lr=0.02)
+        tracker = FlameTracker(model, cfg, cam, (W, H), use_pallas="never")
+        shape, per_seq = fit_shared_shape(tracker, seq_lmks)
+
+        assert shape.shape == (300,)
+        assert len(per_seq) == 2
+        for params, Tn in zip(per_seq, lengths):
+            assert params["expr"].shape[0] == Tn
+            np.testing.assert_array_equal(params["shape"], shape)
+        # the two sequences recovered their distinct yaw signs
+        assert np.mean(per_seq[0]["rotation"][:, 1]) > 0
+        assert np.mean(per_seq[1]["rotation"][:, 1]) < 0
