@@ -56,6 +56,10 @@ class TrackConfig:
     photometric: bool = True
     photometric_backend: str = "splat"   # splat (gaussian) | mesh (halfplane)
     use_static_offset: bool = True
+    # refine camera focal length during the landmark stages, frozen for the
+    # photometric stages (VHAP's camera refinement; the reference exposes
+    # -InitialFocal as a guess, run_full_pipeline_conda.ps1:179-182)
+    optimize_focal: bool = True
     temporal_smoothness: float = 1e-3
     reg_shape: float = 1e-3
     reg_expr: float = 1e-4
@@ -101,8 +105,12 @@ class TrainConfig:
     # GaussianAvatars' default behavior; absorbs residual per-frame
     # tracking error that otherwise caps reconstruction PSNR
     optimize_flame: bool = True
-    lr_flame_pose: float = 1e-5
-    lr_flame_expr: float = 1e-4
+    # (GaussianAvatars uses 1e-5/1e-3-scale over 600k iters; at the 5k-iter
+    # budgets here each frame is only visited ~100x, so the rates are
+    # scaled up to let co-optimization actually absorb 0.05-rad-scale
+    # residual tracker error — measured on the 512^2 e2e case)
+    lr_flame_pose: float = 1e-4
+    lr_flame_expr: float = 3e-4
     seed: int = 0
     sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
 

@@ -63,6 +63,7 @@ class TrackerResult(NamedTuple):
     params: dict          # dataset-contract FLAME params (numpy)
     texture: np.ndarray   # (F, 3) per-face linear color
     losses: dict
+    focal_scale: float = 1.0   # refined-focal multiplier on the init guess
 
 
 def _texture_avatar(model: FlameModel, texture_logits: jnp.ndarray,
@@ -92,10 +93,19 @@ class FlameTracker:
         tile: int = 16,
         max_per_tile: int = 256,
         use_pallas: str = "auto",
+        mesh=None,
+        data_axis: str = "data",
     ):
+        """`mesh` + `data_axis`: shard the T (frame) axis of the batched
+        stages over the device mesh — the domain's sequence parallelism
+        (SURVEY.md §5 long-axis scaling).  Per-frame params, landmarks and
+        frames get P(data_axis) constraints inside the jitted step; XLA
+        inserts the halo exchange the temporal-smoothness diffs need."""
         self.model = model
         self.cfg = cfg
         self.camera = camera
+        self.mesh = mesh
+        self.data_axis = data_axis
         self.width, self.height = image_size
         self.tile = tile
         self.max_per_tile = max_per_tile
@@ -135,7 +145,18 @@ class FlameTracker:
                  if self.cfg.photometric_backend == "mesh"
                  else self.model.faces.shape[0], 3), jnp.float32),
             "static_offset": jnp.zeros((1, self.model.n_vertices, 3), jnp.float32),
+            # log-scale multiplier on the caller's focal guess, optimized in
+            # the landmark stages when cfg.optimize_focal (VHAP refines the
+            # camera during its staged fit; -InitialFocal is only an init)
+            "focal_log_scale": jnp.zeros((), jnp.float32),
         }
+
+    def _scaled_camera(self, base: Camera, p: dict) -> Camera:
+        """Apply the optimized focal multiplier to a base camera."""
+        if "focal_log_scale" not in p:   # externally built param dicts
+            return base
+        s = jnp.exp(p["focal_log_scale"])
+        return base._replace(fx=base.fx * s, fy=base.fy * s)
 
     # ── losses ───────────────────────────────────────────────
     def _flame_args(self, p: dict) -> dict:
@@ -163,7 +184,8 @@ class FlameTracker:
         verts = flame_forward(self.model, self._flame_args(p))
         lmk3d = flame_landmarks(self.model, verts)                 # (T, L, 3)
         T, L = lmk3d.shape[:2]
-        uv, _ = jax.vmap(lambda x: project_points(self.camera, x))(lmk3d)
+        cam = self._scaled_camera(self.camera, p)
+        uv, _ = jax.vmap(lambda x: project_points(cam, x))(lmk3d)
         scale = jnp.float32(max(self.width, self.height))
         diff = (uv - target_lmk) / scale
         m = valid_mask[:, None, None].astype(jnp.float32)
@@ -173,6 +195,9 @@ class FlameTracker:
         """Render the textured FLAME mesh for a frame subset, compare to RGB."""
         verts = flame_forward(self.model, self._flame_args(p))
         bg = jnp.ones(3, jnp.float32)
+        # rendered with the refined focal; the focal itself is only
+        # TRAINABLE in the landmark stages (VHAP freezes the camera for rgb)
+        p_cam = self._scaled_camera(self.p_camera, p)
 
         if self.cfg.photometric_backend == "mesh":
             from omfs4d.render.mesh_raster import rasterize_mesh
@@ -181,7 +206,7 @@ class FlameTracker:
 
             def one(v, gt):
                 img, _ = rasterize_mesh(
-                    v, self.model.faces, face_colors, self.p_camera,
+                    v, self.model.faces, face_colors, p_cam,
                     self.p_width, self.p_height, face_opacity=0.98,
                     background=bg, tile=self.tile,
                     max_per_tile=self.max_per_tile,
@@ -196,7 +221,7 @@ class FlameTracker:
                     avatar, v, self.model.faces
                 )
                 img, _ = rasterize(
-                    means, rot, scales, opac, cols, self.p_camera,
+                    means, rot, scales, opac, cols, p_cam,
                     self.p_width, self.p_height, background=bg,
                     tile=self.tile, max_per_tile=self.max_per_tile,
                     backend=self.backend,
@@ -217,8 +242,16 @@ class FlameTracker:
         )
         s = cfg.temporal_smoothness
         if p["expr"].shape[0] > 1:
-            for k in ("expr", "jaw_pose", "rotation", "translation"):
-                reg = reg + s * jnp.mean(jnp.diff(p[k], axis=0) ** 2)
+            # per-key weights: articulated params (jaw, expression) carry
+            # most of the frame-to-frame tracking noise — their photometric
+            # evidence is a handful of chin/mouth pixels, so without a
+            # strong prior the per-frame fits jitter by 0.1+ rad while real
+            # jaw motion is smooth.  Pose/translation see much more of the
+            # image and need far less prior.  (Measured: at 512 the jaw
+            # noise alone cost ~5 dB of e2e self-reconstruction.)
+            for k, w in (("expr", 30.0), ("jaw_pose", 300.0),
+                         ("rotation", 3.0), ("translation", 3.0)):
+                reg = reg + s * w * jnp.mean(jnp.diff(p[k], axis=0) ** 2)
         return reg
 
     # ── optimizer with stage-dependent trainable subsets ─────
@@ -229,7 +262,7 @@ class FlameTracker:
             "shape": lr * 0.1, "expr": lr, "rotation": lr * 0.3,
             "neck_pose": lr * 0.3, "jaw_pose": lr, "eyes_pose": lr,
             "translation": lr * 0.5, "texture": lr * 10.0,
-            "static_offset": lr * 0.1,
+            "static_offset": lr * 0.1, "focal_log_scale": lr * 0.5,
         }
         txs = {k: optax.adam(v) for k, v in group_lr.items()}
         txs["frozen"] = optax.set_to_zero()
@@ -256,8 +289,25 @@ class FlameTracker:
 
         cache_key = (name, trainable, lmk_w > 0, rgb_w > 0, T)
         if cache_key not in self._step_cache:
+            def shard_T(tree):
+                """P(data) on every (T, ...) leaf -> XLA partitions the
+                whole batched stage over the mesh's frame axis."""
+                if self.mesh is None:
+                    return tree
+                from jax.sharding import NamedSharding, PartitionSpec as Ps
+                s = NamedSharding(self.mesh, Ps(self.data_axis))
+                def c(k, v):
+                    if k in FRAME_KEYS or k in ("landmarks", "valid",
+                                                "frames"):
+                        return jax.lax.with_sharding_constraint(v, s)
+                    return v
+                return {k: c(k, v) for k, v in tree.items()}
+
             def step(params, opt_state, frame_idx):
+                params = shard_T(params)
+
                 def loss_fn(p):
+                    p = shard_T(p)
                     loss = self._regularizers(p)
                     if lmk_w > 0:
                         loss = loss + lmk_w * self._landmark_loss(
@@ -326,38 +376,42 @@ class FlameTracker:
                      steps_per_frame, float(lr))
         if cache_key not in self._step_cache:
 
-            def row_loss(row_opt, row_fix, lmk_t, valid_t, frame_t):
-                row = {**row_fix, **row_opt}
-                p1 = {**frozen, **{k: v[None] for k, v in row.items()}}
-                loss = jnp.float32(0.0)
-                if lmk_w > 0:
-                    loss = loss + lmk_w * self._landmark_loss(
-                        p1, lmk_t[None], valid_t[None])
-                if use_rgb:
-                    loss = loss + rgb_w * self._photometric_loss(
-                        p1, frame_t[None], jnp.zeros((1,), jnp.int32))
-                return loss
+            # `frozen` (texture/shape/static_offset) is a jit ARGUMENT, not a
+            # closure capture: the compiled sweep is cached per cache_key, and
+            # a capture would bake the first fit()'s globals into every later
+            # fit() on the same tracker instance.
+            def sweep(frozen, rows, lmk, valid, frames):
+                def row_loss(row_opt, row_fix, lmk_t, valid_t, frame_t):
+                    row = {**row_fix, **row_opt}
+                    p1 = {**frozen, **{k: v[None] for k, v in row.items()}}
+                    loss = jnp.float32(0.0)
+                    if lmk_w > 0:
+                        loss = loss + lmk_w * self._landmark_loss(
+                            p1, lmk_t[None], valid_t[None])
+                    if use_rgb:
+                        loss = loss + rgb_w * self._photometric_loss(
+                            p1, frame_t[None], jnp.zeros((1,), jnp.int32))
+                    return loss
 
-            def fit_frame(carry_opt, xs):
-                lmk_t, valid_t, frame_t, row_cur = xs
-                # warm start trainable keys from the previous frame's fit;
-                # fixed keys keep this frame's own current values
-                row_fix = {k: row_cur[k] for k in FRAME_KEYS
-                           if k not in trainable}
-                opt_state = opt.init(carry_opt)
+                def fit_frame(carry_opt, xs):
+                    lmk_t, valid_t, frame_t, row_cur = xs
+                    # warm start trainable keys from the previous frame's fit;
+                    # fixed keys keep this frame's own current values
+                    row_fix = {k: row_cur[k] for k in FRAME_KEYS
+                               if k not in trainable}
+                    opt_state = opt.init(carry_opt)
 
-                def body(_, st):
-                    ro, os_ = st
-                    loss, grads = jax.value_and_grad(row_loss)(
-                        ro, row_fix, lmk_t, valid_t, frame_t)
-                    updates, os_ = opt.update(grads, os_, ro)
-                    return optax.apply_updates(ro, updates), os_
+                    def body(_, st):
+                        ro, os_ = st
+                        loss, grads = jax.value_and_grad(row_loss)(
+                            ro, row_fix, lmk_t, valid_t, frame_t)
+                        updates, os_ = opt.update(grads, os_, ro)
+                        return optax.apply_updates(ro, updates), os_
 
-                row_opt, _ = jax.lax.fori_loop(
-                    0, steps_per_frame, body, (carry_opt, opt_state))
-                return row_opt, {**row_fix, **row_opt}
+                    row_opt, _ = jax.lax.fori_loop(
+                        0, steps_per_frame, body, (carry_opt, opt_state))
+                    return row_opt, {**row_fix, **row_opt}
 
-            def sweep(rows, lmk, valid, frames):
                 init = {k: rows[k][0] for k in trainable}
                 _, stacked = jax.lax.scan(
                     fit_frame, init, (lmk, valid, frames, rows))
@@ -368,7 +422,7 @@ class FlameTracker:
         frames_in = (data["frames"] if use_rgb
                      else jnp.zeros((T, 1, 1, 3), jnp.uint8))
         new_rows = self._step_cache[cache_key](
-            rows, data["landmarks"], data["valid"], frames_in)
+            frozen, rows, data["landmarks"], data["valid"], frames_in)
         out = {**frozen, **new_rows}
         final = float(self._landmark_loss(out, data["landmarks"],
                                           data["valid"]))
@@ -397,14 +451,15 @@ class FlameTracker:
         }
         p = init_params or self.init_params(T)
 
+        focal = ("focal_log_scale",) if cfg.optimize_focal else ()
         p = self._run_stage(
             "lmk_init_rigid", p, cfg.steps_lmk_init_rigid,
-            ("rotation", "translation"), 1.0, 0.0, data, events,
+            ("rotation", "translation") + focal, 1.0, 0.0, data, events,
         )
         p = self._run_stage(
             "lmk_init_all", p, cfg.steps_lmk_init_all,
             ("shape", "expr", "rotation", "neck_pose", "jaw_pose",
-             "eyes_pose", "translation"),
+             "eyes_pose", "translation") + focal,
             1.0, 0.0, data, events,
         )
 
@@ -442,11 +497,16 @@ class FlameTracker:
                 )
 
         final_lmk = float(self._landmark_loss(p, data["landmarks"], data["valid"]))
+        focal_scale = float(np.exp(np.asarray(p["focal_log_scale"])))
+        if cfg.optimize_focal:
+            log.info(f"refined focal: x{focal_scale:.4f} "
+                     f"(fx {float(self.camera.fx) * focal_scale:.1f})")
         result_params = self.export_params(p)
         return TrackerResult(
             params=result_params,
             texture=np.asarray(jax.nn.sigmoid(p["texture"])),
             losses={"landmark": final_lmk},
+            focal_scale=focal_scale,
         )
 
     # ── contract export ──────────────────────────────────────

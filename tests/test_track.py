@@ -69,6 +69,40 @@ def test_landmark_fit_recovers_pose(setup):
     assert result.params["static_offset"].shape == (1, model.n_vertices, 3)
 
 
+def test_focal_optimization_recovers_wrong_guess(setup):
+    """Camera-intrinsics refinement (VHAP behavior behind -InitialFocal,
+    ref run_full_pipeline_conda.ps1:179-182): landmarks generated with the
+    TRUE focal, tracked with a guess 30% off — with optimize_focal the fit
+    must reach the same loss ballpark as a perfect focal guess, and beat
+    the frozen-focal fit from the same wrong guess."""
+    model, cam, gt, lmk2d = setup
+
+    def fit_with(fx_scale, optimize_focal):
+        bad_cam = cam._replace(fx=cam.fx * fx_scale, fy=cam.fy * fx_scale)
+        cfg = TrackConfig(
+            n_shape=50, n_expr=20,
+            steps_lmk_init_rigid=250, steps_lmk_init_all=250,
+            photometric=False, lr=0.02, optimize_focal=optimize_focal,
+        )
+        tracker = FlameTracker(model, cfg, bad_cam, (W, H),
+                               use_pallas="never")
+        r = tracker.fit(lmk2d, np.ones(T, bool))
+        return r.losses["landmark"], r.focal_scale
+
+    loss_perfect, _ = fit_with(1.0, True)
+    loss_wrong_frozen, s_frozen = fit_with(1.3, False)
+    loss_wrong_opt, s_opt = fit_with(1.3, True)
+
+    assert s_frozen == 1.0
+    # refined focal moved toward the true one (scale 1/1.3 = 0.77)
+    assert s_opt < 0.95, s_opt
+    assert loss_wrong_opt < loss_wrong_frozen, (loss_wrong_opt,
+                                                loss_wrong_frozen)
+    # within the same convergence ballpark as the perfect guess
+    assert loss_wrong_opt < max(5e-5, 3.0 * loss_perfect), (
+        loss_perfect, loss_wrong_opt)
+
+
 def test_landmark_detector_registry(setup, tmp_path):
     model, cam, gt, lmk2d = setup
     save_landmarks(tmp_path / "landmarks.npz", lmk2d)
