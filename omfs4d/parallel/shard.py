@@ -254,6 +254,7 @@ def avatar_loss_gaussian_sharded(
     probe: jnp.ndarray | None = None,
     lambda_dssim: float = 0.0,
     return_aux: bool = False,
+    data_axis: str | None = None,
 ):
     """Photometric loss of a mesh-bound avatar with the GAUSSIAN AXIS
     sharded over the device mesh — the model-parallel training path.
@@ -270,6 +271,13 @@ def avatar_loss_gaussian_sharded(
     densification pressure, riding the all_to_all back to the owner.
     `lambda_dssim` > 0 mixes in D-SSIM on the assembled image (replicated
     after the tile all_gather, so the metric itself needs no collective).
+
+    `data_axis` enables the 2D (data x gauss) mesh: `verts` becomes
+    (B, V, 3), `gt_image` (B, H, W, 3) and `camera` carries batched array
+    fields, with B = the data-axis size; each data row of the mesh fits its
+    own frame against the gaussian shards, and the returned loss is the
+    pmean over frames (gradients pmean the same way through shard_map's
+    transpose).
     """
     from omfs4d.models.gaussians import bind_to_mesh, eval_colors
     from omfs4d.train.losses import dssim_loss
@@ -284,7 +292,6 @@ def avatar_loss_gaussian_sharded(
     if background is None:
         background = jnp.ones((3,), jnp.float32)
     width, height = camera.width, camera.height
-    cam_pos = -camera.w2c[:3, :3].T @ camera.w2c[:3, 3]
 
     g_specs = type(gaussians)(
         parent_face=P(axis), mu_local=P(axis), quat_local=P(axis),
@@ -295,16 +302,13 @@ def avatar_loss_gaussian_sharded(
     if probe is None:
         probe = jnp.zeros((N, 2), jnp.float32)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(g_specs, P(), P(), P(axis)),
-        out_specs=(P(), P()) if return_aux else P(),
-        check_vma=False,
-    )
-    def _loss(g_local, verts_, gt_, probe_local):
+    def _frame_loss(g_local, verts_, gt_, probe_local, cam):
+        """One frame against this device's gaussian shard (runs inside
+        shard_map; all collectives are over the gauss axis)."""
+        cam_pos = -cam.w2c[:3, :3].T @ cam.w2c[:3, 3]
         means, rot, scales, opac, _ = bind_to_mesh(g_local, verts_, faces)
         cols = eval_colors(g_local, means, cam_pos)
-        proj = project_gaussians(camera, means, rot, scales)
+        proj = project_gaussians(cam, means, rot, scales)
         proj = dict(proj)
         proj["uv"] = proj["uv"] + probe_local
         live = proj["in_front"] & (opac > 1.0 / 255.0)
@@ -372,8 +376,42 @@ def avatar_loss_gaussian_sharded(
                         + lambda_dssim * dssim_loss(img, gt_))
         else:
             loss_val = l1
-        if return_aux:
-            return loss_val, jax.lax.psum(binning.overflow, axis)
-        return loss_val
+        return loss_val, jax.lax.psum(binning.overflow, axis)
 
-    return _loss(gaussians, verts, gt_image, probe)
+    if data_axis is None:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(g_specs, P(), P(), P(axis)),
+            out_specs=(P(), P()) if return_aux else P(),
+            check_vma=False,
+        )
+        def _loss(g_local, verts_, gt_, probe_local):
+            loss_val, overflow = _frame_loss(g_local, verts_, gt_,
+                                             probe_local, camera)
+            return (loss_val, overflow) if return_aux else loss_val
+
+        return _loss(gaussians, verts, gt_image, probe)
+
+    # 2D (data x gauss): each data row fits its own frame; the camera's
+    # array fields arrive batched (B, ...) and split to (1, ...) per row
+    cam_arrays = {"w2c": camera.w2c, "fx": camera.fx, "fy": camera.fy,
+                  "cx": camera.cx, "cy": camera.cy}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(g_specs, P(data_axis), P(data_axis), P(axis),
+                  {k: P(data_axis) for k in cam_arrays}),
+        out_specs=(P(), P()) if return_aux else P(),
+        check_vma=False,
+    )
+    def _loss_2d(g_local, verts_b, gt_b, probe_local, cam_b):
+        cam = Camera(w2c=cam_b["w2c"][0], fx=cam_b["fx"][0],
+                     fy=cam_b["fy"][0], cx=cam_b["cx"][0], cy=cam_b["cy"][0],
+                     width=width, height=height)
+        loss_val, overflow = _frame_loss(g_local, verts_b[0], gt_b[0],
+                                         probe_local, cam)
+        loss_val = jax.lax.pmean(loss_val, data_axis)
+        overflow = jax.lax.psum(overflow, data_axis)
+        return (loss_val, overflow) if return_aux else loss_val
+
+    return _loss_2d(gaussians, verts, gt_image, probe, cam_arrays)

@@ -61,17 +61,42 @@ class ShardedAvatarTrainer:
         tile: int = 16,
         max_per_tile: int = 512,
         max_tiles_per_gaussian: int = 16,
+        flame_model=None,
+        data_axis: str | None = None,
     ):
+        """`flame_model` + cfg.optimize_flame: FLAME params (replicated —
+        they are tiny next to the gaussian shards) are refined jointly; the
+        gradient reaches them through the shard_map's transpose, which psums
+        the per-shard contributions automatically.
+
+        `data_axis`: name of a second mesh axis for frame data-parallelism
+        — each data row of the (data x gauss) mesh fits its own sampled
+        frame per step (B = mesh.shape[data_axis])."""
         self.faces = jnp.asarray(faces, jnp.int32)
         self.cfg = cfg
         self.width, self.height = width, height
         self.mesh, self.axis = mesh, axis
         self.n_dev = mesh.shape[axis]
+        self.data_axis = data_axis
+        self.batch = mesh.shape[data_axis] if data_axis else 1
         self.bg = (jnp.ones(3, jnp.float32) if white_background
                    else jnp.zeros(3, jnp.float32))
         self.render_opts = dict(tile=tile, max_per_tile=max_per_tile,
                                 max_tiles_per_gaussian=max_tiles_per_gaussian)
         self.optimizer = make_optimizer(cfg)
+        self.flame_model = flame_model
+        self.co_optimize = (bool(getattr(cfg, "optimize_flame", False))
+                            and flame_model is not None)
+        self.flame_opt = optax.multi_transform(
+            {
+                "pose": optax.adam(cfg.lr_flame_pose),
+                "expr": optax.adam(cfg.lr_flame_expr),
+                "frozen": optax.set_to_zero(),
+            },
+            lambda tree: {k: ("expr" if k == "expr" else
+                              "frozen" if k in ("shape", "static_offset") else
+                              "pose") for k in tree},
+        ) if self.co_optimize else None
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._densify_fn = jax.jit(self._densify_prune, donate_argnums=(0,),
                                    static_argnums=(2,))
@@ -93,7 +118,8 @@ class ShardedAvatarTrainer:
 
     def init_state(self, capacity: int | None = None,
                    gaussians: GaussianAvatar | None = None,
-                   seed: int | None = None) -> TrainState:
+                   seed: int | None = None,
+                   flame_params: dict | None = None) -> TrainState:
         capacity = capacity or self.cfg.max_gaussians
         if gaussians is None:
             gaussians = init_gaussians_on_mesh(
@@ -112,42 +138,88 @@ class ShardedAvatarTrainer:
             grad_accum=jnp.zeros(capacity, jnp.float32),
             grad_count=jnp.zeros(capacity, jnp.float32),
         )
-        return jax.device_put(state, self._shardings(state))
+        state = jax.device_put(state, self._shardings(state))
+        if flame_params is not None:
+            # FLAME params are small and touched by every shard: replicate
+            # (placed explicitly so _shardings' capacity heuristic never
+            # row-shards a (T, ...) leaf whose T happens to divide n_dev)
+            rep = NamedSharding(self.mesh, P())
+            fp = jax.tree_util.tree_map(
+                lambda v: jax.device_put(jnp.asarray(v), rep), flame_params)
+            fos = None
+            if self.co_optimize:
+                fos = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(v, rep),
+                    self.flame_opt.init(fp))
+            state = state._replace(flame_params=fp, flame_opt_state=fos)
+        return state
 
     # ── one jitted sharded step ──────────────────────────────
     def _train_step(self, state: TrainState, data: dict, idx: jnp.ndarray):
+        """`idx` is a scalar frame index (1D gauss mesh) or a (B,) batch
+        with B = data-axis size (2D data x gauss mesh)."""
         cfg = self.cfg
         g = state.gaussians
-        img = data["images"][idx].astype(jnp.float32) / 255.0
+        batched = self.data_axis is not None
+        bidx = jnp.atleast_1d(idx)
+
+        img = data["images"][bidx].astype(jnp.float32) / 255.0
         if "masks" in data:
-            m = data["masks"][idx].astype(jnp.float32)[..., None] / 255.0
+            m = data["masks"][bidx].astype(jnp.float32)[..., None] / 255.0
             img = img * m + self.bg * (1.0 - m)
-        cam = Camera(w2c=data["w2c"][idx],
-                     fx=data["fx"][idx], fy=data["fy"][idx],
-                     cx=data["cx"][idx], cy=data["cy"][idx],
+        cam = Camera(w2c=data["w2c"][bidx],
+                     fx=data["fx"][bidx], fy=data["fy"][bidx],
+                     cx=data["cx"][bidx], cy=data["cy"][bidx],
                      width=self.width, height=self.height)
-        verts = data["verts"][idx]
+        if not batched:
+            img = img[0]
+            cam = jax.tree_util.tree_map(
+                lambda x: x[0] if hasattr(x, "ndim") and x.ndim else x, cam)
+            cam = cam._replace(width=self.width, height=self.height)
         probe = jnp.zeros((g.capacity, 2), jnp.float32)
         probe = jax.lax.with_sharding_constraint(
             probe, NamedSharding(self.mesh, P(self.axis)))
 
-        def loss_fn(fp, pr):
+        def frame_verts(flame_p):
+            """Posed FLAME vertices for the sampled frames (co-optimized
+            path recomputes them from the refined parameters)."""
+            if not self.co_optimize:
+                v = data["verts"][bidx]
+            else:
+                sliced = {
+                    k: (v if k in ("shape", "static_offset") else v[bidx])
+                    for k, v in flame_p.items()
+                }
+                from omfs4d.models.flame import flame_forward
+                v = flame_forward(self.flame_model, sliced)
+            return v if batched else v[0]
+
+        def loss_fn(fp, flame_p, pr):
             gg = with_floats(g, fp)
+            verts = frame_verts(flame_p)
             loss, overflow = avatar_loss_gaussian_sharded(
                 gg, verts, self.faces, cam, img,
                 mesh=self.mesh, axis=self.axis, background=self.bg,
                 probe=pr, lambda_dssim=cfg.lambda_dssim, return_aux=True,
-                **self.render_opts)
+                data_axis=self.data_axis, **self.render_opts)
             return loss, overflow
 
         fp0 = float_fields(g)
-        (loss, overflow), (grads, probe_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(fp0, probe)
+        flame0 = state.flame_params if self.co_optimize else {}
+        (loss, overflow), (grads, flame_grads, probe_grad) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                fp0, flame0, probe))
 
         updates, opt_state = self.optimizer.update(grads, state.opt_state, fp0)
         fp = optax.apply_updates(fp0, updates)
         fp["quat_local"] = fp["quat_local"] / (
             jnp.linalg.norm(fp["quat_local"], axis=-1, keepdims=True) + 1e-12)
+
+        flame_p, flame_opt_state = state.flame_params, state.flame_opt_state
+        if self.co_optimize:
+            f_updates, flame_opt_state = self.flame_opt.update(
+                flame_grads, state.flame_opt_state, flame0)
+            flame_p = optax.apply_updates(flame0, f_updates)
 
         # pixel -> NDC gradient units (see AvatarTrainer._train_step)
         gnorm = jnp.linalg.norm(probe_grad, axis=-1) * (
@@ -158,6 +230,8 @@ class ShardedAvatarTrainer:
             step=state.step + 1,
             grad_accum=state.grad_accum + gnorm,
             grad_count=state.grad_count + (gnorm > 0).astype(jnp.float32),
+            flame_params=flame_p,
+            flame_opt_state=flame_opt_state,
         )
         return new_state, {"loss": loss, "overflow": overflow,
                            "n_alive": new_state.gaussians.alive.sum()}
@@ -218,6 +292,8 @@ class ShardedAvatarTrainer:
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
             grad_count=jnp.zeros(N, jnp.float32),
+            flame_params=state.flame_params,
+            flame_opt_state=state.flame_opt_state,
         )
 
     def densify(self, state: TrainState, key) -> TrainState:
@@ -232,7 +308,7 @@ class ShardedAvatarTrainer:
     def train(self, data: dict, iterations: int | None = None,
               state: TrainState | None = None, rng_seed: int = 0,
               log_every: int = 100, output_dir=None,
-              events=None) -> TrainState:
+              events=None, start_iteration: int = 0) -> TrainState:
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         state = state or self.init_state()
@@ -244,8 +320,20 @@ class ShardedAvatarTrainer:
         save_iters = sorted({max(iterations // 4, 1),
                              max(iterations // 2, 1), iterations})
 
-        for it in range(1, iterations + 1):
-            idx = int(rng.integers(0, T))
+        def draw():
+            return (rng.integers(0, T, size=(self.batch,))
+                    if self.data_axis else int(rng.integers(0, T)))
+
+        for it in range(1, start_iteration + 1):
+            # replay the host RNG streams past completed iterations (resume)
+            draw()
+            if (cfg.densify_interval > 0
+                    and cfg.densify_from <= it <= densify_until
+                    and it % cfg.densify_interval == 0):
+                key, _ = jax.random.split(key)
+
+        for it in range(start_iteration + 1, iterations + 1):
+            idx = draw()
             state, metrics = self.step(state, data, idx)
             if it % log_every == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -76,6 +76,9 @@ def main(argv: list[str] | None = None):
     p.add_argument("--data", required=True)
     p.add_argument("--out", default="")
     p.add_argument("--iterations", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in --out "
+                        "(full optimizer + FLAME state restored)")
 
     p = sub.add_parser("render-surgery", help="surgical prediction video")
     _add_common(p)
@@ -154,7 +157,8 @@ def main(argv: list[str] | None = None):
         log.info(f"tracked dataset at {out}")
     elif args.cmd == "train":
         out = pipe.train(Path(args.data), Path(args.out) if args.out else None,
-                         iterations=args.iterations or None)
+                         iterations=args.iterations or None,
+                         resume=args.resume)
         log.info(f"model at {out}")
     elif args.cmd == "render-surgery":
         result = pipe.render_surgery(

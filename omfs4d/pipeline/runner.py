@@ -107,10 +107,20 @@ class Pipeline:
                     track_cfg = dataclasses.replace(track_cfg,
                                                     rgb_downsample=2)
                     log.info("hires frames: photometric stages at 1/2 res")
+                track_mesh = None
+                if cfg.parallel.n_data > 1:
+                    # T-axis sharding of the batched stages (SURVEY §5)
+                    import jax
+                    from jax.sharding import Mesh
+                    nd = cfg.parallel.n_data
+                    if len(jax.devices()) >= nd:
+                        track_mesh = Mesh(np.asarray(jax.devices()[:nd]),
+                                          ("data",))
                 tracker = FlameTracker(
                     self.model, track_cfg, camera, (W, H),
                     max_per_tile=cfg.render.max_per_tile,
                     use_pallas=cfg.render.use_pallas,
+                    mesh=track_mesh,
                 )
                 result = tracker.fit(lmk, valid, frames=frames,
                                      events=self.events)
@@ -127,9 +137,13 @@ class Pipeline:
                     {k: jnp.asarray(v) for k, v in result.params.items()
                      if k != "dynamic_offset"},
                 )[0]
+                # dataset intrinsics carry the tracker's REFINED focal (the
+                # caller's fx is only an initial guess; cf. VHAP's camera
+                # refinement behind -InitialFocal)
                 write_dataset(
                     out, frames, c2w_all,
-                    float(camera.fx), float(camera.fy),
+                    float(camera.fx) * result.focal_scale,
+                    float(camera.fy) * result.focal_scale,
                     float(camera.cx), float(camera.cy),
                     flame_params=result.params,
                     masks=masks,
@@ -148,7 +162,8 @@ class Pipeline:
 
     # ── stage 4: avatar training ─────────────────────────────
     def train(self, data_dir: Path, output_dir: Path | None = None,
-              iterations: int | None = None, force: bool = False) -> Path:
+              iterations: int | None = None, force: bool = False,
+              resume: bool = False) -> Path:
         cfg = self.cfg
         output_dir = Path(output_dir) if output_dir else self.workdir / "model"
 
@@ -196,33 +211,81 @@ class Pipeline:
             train_cfg = dataclasses.replace(train_cfg, densify_interval=100)
             log.info("hires dataset: densify_interval 300 -> 100")
 
+        n_data = max(cfg.parallel.n_data, 1)   # -1/-0/1 = no frame DP here
         if cfg.parallel.n_gauss > 1:
             # model-parallel training: gaussians + optimizer state sharded
-            # over the `gauss` mesh axis (parallel.sharded_trainer); no
-            # FLAME co-optimization on this path yet
+            # over the `gauss` mesh axis (parallel.sharded_trainer), with
+            # FLAME co-optimization and an optional (data x gauss) 2D mesh
+            # when parallel.n_data is also set
             import jax
             from jax.sharding import Mesh
             from omfs4d.models.gaussians import init_gaussians_on_mesh
             from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
 
             n = cfg.parallel.n_gauss
-            devices = jax.devices()[:n]
-            if len(devices) < n:
+            need = n * n_data
+            devices = jax.devices()[:need]
+            if len(devices) < need:
                 raise RuntimeError(
-                    f"parallel.n_gauss={n} but only {len(devices)} devices")
-            mesh = Mesh(np.asarray(devices), ("gauss",))
+                    f"parallel n_data x n_gauss = {n_data}x{n} but only "
+                    f"{len(devices)} devices")
+            if n_data > 1:
+                mesh = Mesh(np.asarray(devices).reshape(n_data, n),
+                            ("data", "gauss"))
+            else:
+                mesh = Mesh(np.asarray(devices), ("gauss",))
             trainer = ShardedAvatarTrainer(
                 np.asarray(self.model.faces), train_cfg, W, H, mesh=mesh,
                 white_background=cfg.render.white_background,
                 tile=cfg.render.tile,
                 max_per_tile=cfg.render.max_per_tile,
+                flame_model=self.model if cfg.train.optimize_flame else None,
+                data_axis="data" if n_data > 1 else None,
             )
             capacity = (train_cfg.max_gaussians // n) * n
             g0 = init_gaussians_on_mesh(
                 np.asarray(self.model.faces), capacity,
                 seed=train_cfg.seed, sh_degree=train_cfg.sh_degree,
                 ref_verts=np.asarray(verts[0]))
-            state = trainer.init_state(gaussians=g0)
+            state = trainer.init_state(
+                gaussians=g0,
+                flame_params=params if cfg.train.optimize_flame else None)
+        elif n_data > 1:
+            # frame data-parallel training on the replicated trainer: the
+            # sampled batch is sharded over a `data` mesh and XLA psums the
+            # gradients (SURVEY.md §2.3; the cheapest wall-clock lever for
+            # the <10 min/case budget on v5e-8)
+            import jax
+            from jax.sharding import Mesh
+
+            devices = jax.devices()[:n_data]
+            if len(devices) < n_data:
+                raise RuntimeError(
+                    f"parallel.n_data={n_data} but only "
+                    f"{len(devices)} devices")
+            mesh = Mesh(np.asarray(devices), ("data",))
+            if train_cfg.batch_frames % n_data:
+                train_cfg = dataclasses.replace(
+                    train_cfg,
+                    batch_frames=max(train_cfg.batch_frames, 1) * n_data
+                    if train_cfg.batch_frames < n_data else
+                    ((train_cfg.batch_frames + n_data - 1) // n_data)
+                    * n_data)
+                log.info(f"frame-DP: batch_frames -> "
+                         f"{train_cfg.batch_frames} ({n_data} devices)")
+            trainer = AvatarTrainer(
+                np.asarray(self.model.faces), train_cfg, W, H,
+                white_background=cfg.render.white_background,
+                tile=cfg.render.tile,
+                max_per_tile=cfg.render.max_per_tile,
+                use_pallas=cfg.render.use_pallas,
+                flame_model=self.model if cfg.train.optimize_flame else None,
+                mesh=mesh,
+            )
+            state = trainer.init_state(
+                flame_params=params if cfg.train.optimize_flame else None,
+                canonical_verts=np.asarray(verts[0]),
+            )
         else:
             trainer = AvatarTrainer(
                 np.asarray(self.model.faces), train_cfg, W, H,
@@ -236,9 +299,25 @@ class Pipeline:
                 flame_params=params if cfg.train.optimize_flame else None,
                 canonical_verts=np.asarray(verts[0]),
             )
+        start_iter = 0
+        if resume:
+            # continue a killed run from its newest checkpoint (ref lineage:
+            # train_ghost.py:141-156 over GA's chkpnt*.pth)
+            if cfg.parallel.n_gauss > 1:
+                log.warning("resume is not supported on the gaussian-sharded "
+                            "trainer yet; starting fresh")
+            else:
+                try:
+                    state, start_iter = trainer.restore_checkpoint(
+                        output_dir, template=state)
+                    self.events.emit("train_resume", iteration=start_iter)
+                except FileNotFoundError:
+                    log.info("resume requested but no checkpoint exists; "
+                             "starting fresh")
         with stage_timer("train", self.events):
             state = trainer.train(data, iterations=iterations, state=state,
-                                  output_dir=output_dir, events=self.events)
+                                  output_dir=output_dir, events=self.events,
+                                  start_iteration=start_iter)
         if cfg.train.optimize_flame and state.flame_params is not None:
             # export the co-optimized FLAME params: the avatar was trained
             # against these poses, so the prediction renderer must re-pose
@@ -247,8 +326,12 @@ class Pipeline:
                      **{k: np.asarray(v)
                         for k, v in state.flame_params.items()})
 
-        write_experiment_manifest(output_dir, data_dir, cfg.to_dict(),
-                                  extra={"iterations": iterations or cfg.train.iterations})
+        from omfs4d.train.checkpoints import checkpoint_lineage
+        write_experiment_manifest(
+            output_dir, data_dir, cfg.to_dict(),
+            extra={"iterations": iterations or cfg.train.iterations,
+                   "resumed_from_iteration": start_iter,
+                   "checkpoint_lineage": checkpoint_lineage(output_dir)})
         return output_dir
 
     # ── stage 5: surgical prediction render ──────────────────
@@ -264,6 +347,8 @@ class Pipeline:
                 fps=self.cfg.predict.fps,
                 rig_mode=self.cfg.predict.rig_mode,
                 backend=self.cfg.render.use_pallas,
+                white_background=self.cfg.render.white_background,
+                n_tile=max(self.cfg.parallel.n_tile, 1),
                 **kw,
             )
 

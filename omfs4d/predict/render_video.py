@@ -44,8 +44,20 @@ def render_dataset_frames(
     split: str = "train",
     backend: str = "auto",
     max_per_tile: int = 512,
+    max_tiles_per_gaussian: int = 16,
+    white_background: bool = True,
+    n_tile: int = 1,
 ) -> Path:
-    """Render every frame of a dataset split with the given avatar."""
+    """Render every frame of a dataset split with the given avatar.
+
+    `max_tiles_per_gaussian` must cover the window the TRAINER ended on
+    (adaptive escalation): rendering with a smaller window clips the large
+    gaussians the training loss depended on.
+
+    `n_tile` > 1 rasterizes each frame spatially sharded over a `tile`
+    device-mesh axis (parallel.shard.rasterize_tile_sharded): tiles are
+    independent, so the only collective is the final image all_gather."""
+    bg_value = 1.0 if white_background else 0.0
     ds = FrameDataset(data_dir, split=split)
     out_renders = Path(out_renders)
     out_renders.mkdir(parents=True, exist_ok=True)
@@ -72,13 +84,39 @@ def render_dataset_frames(
     cam0 = ds.camera(0)
     W, H = cam0.width, cam0.height
 
+    bg_arr = jnp.full((3,), bg_value, jnp.float32)
+    tile_mesh = None
+    if n_tile > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) >= n_tile:
+            tile_mesh = Mesh(np.asarray(devs[:n_tile]), ("tile",))
+        else:
+            log.warning(f"n_tile={n_tile} but only {len(devs)} devices; "
+                        "rendering unsharded")
+
     @jax.jit
     def render_one(g, v, w2c, fx, fy, cx, cy):
         from omfs4d.ops.camera import Camera
         c = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+        if tile_mesh is not None:
+            from omfs4d.models.gaussians import bind_to_mesh, eval_colors
+            from omfs4d.parallel.shard import rasterize_tile_sharded
+            means, rot, scales, opac, _ = bind_to_mesh(
+                g, v, flame_model.faces)
+            cam_pos = -c.w2c[:3, :3].T @ c.w2c[:3, 3]
+            cols = eval_colors(g, means, cam_pos)
+            img, _ = rasterize_tile_sharded(
+                means, rot, scales, opac, cols, c, W, H,
+                mesh=tile_mesh, axis="tile", background=bg_arr,
+                max_per_tile=max_per_tile,
+                max_tiles_per_gaussian=max(36, max_tiles_per_gaussian))
+            return img
         img, _ = render_avatar_frame(
             g, v, flame_model.faces, c, W, H,
+            background=bg_arr,
             backend=backend, max_per_tile=max_per_tile,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
         )
         return img
 
@@ -96,13 +134,13 @@ def render_dataset_frames(
         write_image(out_renders / name, np.asarray(img))
         if out_gt is not None:
             # GT must match the training target: when fg_masks exist the
-            # trainer composites frames over the white background, and the
-            # renders have white background too (GaussianAvatars stores the
-            # same masked gt in train/ours_N/gt)
+            # trainer composites frames over the CONFIGURED background (the
+            # trainer's self.bg), and the renders use the same background
+            # (GaussianAvatars stores the same masked gt in train/ours_N/gt)
             gt = ds.load_image(i).astype(np.float32) / 255.0
             m = ds.load_mask(i)
             if m is not None:
-                gt = gt * m[..., None] + (1.0 - m[..., None])
+                gt = gt * m[..., None] + bg_value * (1.0 - m[..., None])
             write_image(Path(out_gt) / name, gt)
 
     for i in range(T):
@@ -135,6 +173,8 @@ def render_prediction(
     deterministic_max_frames: int = 24,
     backend: str = "auto",
     keep_modified_dataset: bool = False,
+    white_background: bool = True,
+    n_tile: int = 1,
 ) -> dict:
     """Full prediction pipeline: offsets -> modified dataset -> render -> MP4."""
     lefort_offset = compute_offset(lefort_mm, sensitivity)
@@ -155,6 +195,15 @@ def render_prediction(
     gaussians = load_point_cloud(pc_path)
     log.info(f"Using iteration: {it} ({int(gaussians.alive.sum())} gaussians)")
 
+    # render with (at least) the tile window the trainer escalated to —
+    # a smaller window would clip the large gaussians the training loss
+    # optimized through (checkpoints/iter_*_meta.json)
+    from omfs4d.train.checkpoints import trained_tile_window
+    window = max(16, trained_tile_window(model_dir, it) or 16)
+    if window > 16:
+        log.info(f"render window: max_tiles_per_gaussian={window} "
+                 "(from training meta)")
+
     # clear stale renders (parity: render_surgery.py:260-267)
     train_dir = model_dir / "train"
     if train_dir.is_dir():
@@ -174,7 +223,8 @@ def render_prediction(
         gt_dir = train_dir / f"ours_{it}" / "gt"
         render_dataset_frames(
             flame_model, gaussians, modified, renders_dir, out_gt=gt_dir,
-            split="train", backend=backend,
+            split="train", backend=backend, white_background=white_background,
+            max_tiles_per_gaussian=window, n_tile=n_tile,
         )
 
         if export_frames_dir:

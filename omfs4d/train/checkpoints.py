@@ -37,6 +37,67 @@ def restore_state(path: str | Path, template=None):
     return ckptr.restore(Path(path).resolve())
 
 
+def latest_checkpoint(output_dir: str | Path) -> tuple[Path, int] | None:
+    """Newest full-state checkpoint under `<output_dir>/checkpoints/iter_*`
+    (the resume entry point; ref lineage scan: train_ghost.py:141-156)."""
+    ckpt_root = Path(output_dir) / "checkpoints"
+    if not ckpt_root.is_dir():
+        return None
+    found = []
+    for d in ckpt_root.iterdir():
+        if d.is_dir() and d.name.startswith("iter_"):
+            try:
+                found.append((int(d.name.split("_", 1)[1]), d))
+            except ValueError:
+                pass
+    if not found:
+        return None
+    it, path = max(found)
+    return path, it
+
+
+def checkpoint_lineage(output_dir: str | Path) -> list[dict]:
+    """All checkpoints on disk, oldest first (manifest lineage record)."""
+    ckpt_root = Path(output_dir) / "checkpoints"
+    if not ckpt_root.is_dir():
+        return []
+    rows = []
+    for d in sorted(ckpt_root.iterdir()):
+        if d.is_dir() and d.name.startswith("iter_"):
+            try:
+                rows.append({"iteration": int(d.name.split("_", 1)[1]),
+                             "path": str(d)})
+            except ValueError:
+                pass
+    return sorted(rows, key=lambda r: r["iteration"])
+
+
+def trained_tile_window(output_dir: str | Path,
+                        iteration: int | None = None) -> int | None:
+    """max_tiles_per_gaussian the trainer ended up using (escalation is
+    adaptive), read from the checkpoint meta.  The prediction renderer must
+    render with AT LEAST this window — the avatar was optimized against it,
+    and re-rendering with a smaller one clips exactly the large gaussians
+    the training loss relied on (measured: ~10 dB of selfrecon at 512^2)."""
+    import json
+
+    ckpt_root = Path(output_dir) / "checkpoints"
+    if not ckpt_root.is_dir():
+        return None
+    metas = sorted(ckpt_root.glob("iter_*_meta.json"))
+    if iteration is not None:
+        exact = ckpt_root / f"iter_{iteration:07d}_meta.json"
+        if exact.exists():
+            metas = [exact]
+    if not metas:
+        return None
+    try:
+        return int(json.loads(metas[-1].read_text())
+                   .get("max_tiles_per_gaussian", 0)) or None
+    except (ValueError, json.JSONDecodeError, OSError):
+        return None
+
+
 def latest_iteration(output_dir: str | Path) -> int | None:
     """Highest `point_cloud/iteration_*` (ref behavior:
     render_surgery.py:269-287)."""

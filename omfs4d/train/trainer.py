@@ -208,10 +208,24 @@ class AvatarTrainer:
         max_tiles_per_gaussian: int = 16,
         use_pallas: str = "auto",
         flame_model=None,
+        mesh=None,
+        data_axis: str = "data",
     ):
         """`flame_model` enables FLAME-parameter co-optimization
         (cfg.optimize_flame): the tracked pose/expression is refined jointly
-        with the gaussians, as the GaussianAvatars trainer does."""
+        with the gaussians, as the GaussianAvatars trainer does.
+
+        `mesh` + `data_axis` enable FRAME data parallelism: the sampled
+        frame batch is annotated P(data_axis) inside the jitted step, so
+        XLA partitions the vmapped per-frame render across the mesh and
+        inserts the gradient psum itself (cfg.batch_frames must be a
+        multiple of the axis size)."""
+        self.mesh = mesh
+        self.data_axis = data_axis
+        if mesh is not None and cfg.batch_frames % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch_frames={cfg.batch_frames} not divisible by mesh "
+                f"axis {data_axis}={mesh.shape[data_axis]}")
         self.flame_model = flame_model
         self.co_optimize = bool(getattr(cfg, "optimize_flame", False)) and flame_model is not None
         self.flame_opt = optax.multi_transform(
@@ -292,6 +306,16 @@ class AvatarTrainer:
             m = data["masks"][idx].astype(jnp.float32)[..., None] / 255.0
             imgs = imgs * m + bg * (1.0 - m)
 
+        if self.mesh is not None:
+            # frame-DP: shard the sampled batch over the data axis — the
+            # vmapped per-frame render partitions across the mesh and XLA
+            # inserts the gradient psum (SURVEY.md §2.3 data parallelism)
+            from jax.sharding import NamedSharding, PartitionSpec as Ps
+            batch_s = NamedSharding(self.mesh, Ps(self.data_axis))
+            shard = lambda x: jax.lax.with_sharding_constraint(x, batch_s)
+            imgs, w2c = shard(imgs), shard(w2c)
+            fx, fy, cx, cy = shard(fx), shard(fy), shard(cx), shard(cy)
+
         probe = jnp.zeros((state.gaussians.capacity, 2), jnp.float32)
 
         def frame_verts(flame_p):
@@ -307,6 +331,10 @@ class AvatarTrainer:
         def loss_fn(fp, flame_p, pr):
             g = with_floats(state.gaussians, fp)
             verts = frame_verts(flame_p)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as Ps
+                verts = jax.lax.with_sharding_constraint(
+                    verts, NamedSharding(self.mesh, Ps(self.data_axis)))
             def one(v, w2c_i, fx_i, fy_i, cx_i, cy_i, gt):
                 cam = Camera(w2c=w2c_i, fx=fx_i, fy=fy_i, cx=cx_i, cy=cy_i,
                              width=W, height=H)
@@ -397,6 +425,9 @@ class AvatarTrainer:
         )
 
     MAX_TILE_WINDOW = 64
+    WINDOW_CHECK_EVERY = 10
+    WINDOW_CHECK_UNTIL = 500
+    _window_capped = False
 
     def grow_tile_window(self) -> bool:
         """Double max_tiles_per_gaussian (recompiles the step fns).
@@ -449,9 +480,16 @@ class AvatarTrainer:
         events: EventLogger | None = None,
         log_every: int = 100,
         rng_seed: int = 0,
+        start_iteration: int = 0,
     ) -> TrainState:
         """data: dict of device arrays — images (T,H,W,3) uint8,
-        verts (T,V,3) f32, w2c (T,4,4), fx/fy/cx/cy (T,), masks optional."""
+        verts (T,V,3) f32, w2c (T,4,4), fx/fy/cx/cy (T,), masks optional.
+
+        `start_iteration` resumes a restored state: the loop runs
+        (start, iterations], and the host RNG streams (frame sampling,
+        densify noise) are replayed past the completed iterations so a
+        kill-and-resume run draws the same sequence as an uninterrupted one.
+        """
         cfg = self.cfg
         iterations = iterations or cfg.iterations
         state = state or self.init_state()
@@ -468,9 +506,35 @@ class AvatarTrainer:
         densify_until = int(iterations * cfg.densify_until_frac)
         max_new = max(state.gaussians.capacity // 16, 1)
 
-        for it in range(1, iterations + 1):
+        for it in range(1, start_iteration + 1):
+            rng.integers(0, T, size=(B,))
+            if (cfg.densify_interval > 0
+                    and cfg.densify_from <= it <= densify_until
+                    and it % cfg.densify_interval == 0):
+                key, _ = jax.random.split(key)
+
+        for it in range(start_iteration + 1, iterations + 1):
             idx = jnp.asarray(rng.integers(0, T, size=(B,)), jnp.int32)
             state, metrics = self._step_fn(state, data, idx)
+
+            # tile-window pressure: gaussians larger than the static
+            # max_tiles_per_gaussian window get silently clipped to their
+            # nearest tiles — escalate the window (recompile) before that
+            # degrades many gradients.  Checked on a fast cadence (two
+            # device scalars, ~µs of D2H) through the early phase where the
+            # pressure peaks (largest gaussians, pre-split); afterwards the
+            # check drops to the log cadence so the metric fetch stops
+            # stalling the async dispatch pipeline.
+            early = it <= self.WINDOW_CHECK_UNTIL
+            if (not self._window_capped
+                    and ((early and (it <= self.WINDOW_CHECK_EVERY
+                                     or it % self.WINDOW_CHECK_EVERY == 0))
+                         or it % log_every == 0)):
+                clipped = float(metrics["window_clipped"])
+                alive = float(metrics["n_alive"])
+                if clipped / max(alive, 1.0) > 0.02:
+                    if not self.grow_tile_window():
+                        self._window_capped = True
 
             if it % log_every == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -479,14 +543,6 @@ class AvatarTrainer:
                     f"psnr={m['psnr']:.2f} alive={int(m['n_alive'])}"
                 )
                 events.emit("train_step", iter=it, **m)
-                # tile-window pressure: gaussians larger than the static
-                # max_tiles_per_gaussian window get silently clipped to
-                # their nearest tiles — escalate the window (recompile)
-                # before that degrades quality (typical early in training,
-                # before large gaussians are split)
-                clip_frac = m["window_clipped"] / max(m["n_alive"], 1.0)
-                if clip_frac > 0.02:
-                    self.grow_tile_window()
 
             if (
                 cfg.densify_interval > 0
@@ -506,10 +562,50 @@ class AvatarTrainer:
 
     # ── checkpoints ──────────────────────────────────────────
     def save_checkpoint(self, state: TrainState, output_dir: str | Path, iteration: int):
+        import json
+
         from omfs4d.train.checkpoints import save_state, export_point_cloud
 
         out = Path(output_dir)
-        save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        ckpt = save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        # runtime knobs that live outside the jax state but shape the step
+        # (a resumed trainer restores the escalated tile window instead of
+        # re-learning it from clip pressure)
+        (ckpt.parent / f"iter_{iteration:07d}_meta.json").write_text(
+            json.dumps({
+                "iteration": iteration,
+                "max_tiles_per_gaussian":
+                    self.render_cfg["max_tiles_per_gaussian"],
+            }))
         export_point_cloud(out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
                            state.gaussians)
         log.info(f"checkpoint saved at iteration {iteration}")
+
+    def restore_checkpoint(self, output_dir: str | Path,
+                           template: TrainState) -> tuple[TrainState, int]:
+        """Restore the newest checkpoint under output_dir.
+
+        Returns (state, iteration); raises FileNotFoundError when no
+        checkpoint exists.  `template` fixes the pytree structure (use a
+        freshly built init_state with the same flame-param layout).
+        """
+        import json
+
+        from omfs4d.train.checkpoints import latest_checkpoint, restore_state
+
+        found = latest_checkpoint(output_dir)
+        if found is None:
+            raise FileNotFoundError(
+                f"no checkpoints/iter_* under {output_dir}")
+        path, it = found
+        state = restore_state(path, template=template)
+        meta_file = path.parent / f"{path.name}_meta.json"
+        if meta_file.exists():
+            meta = json.loads(meta_file.read_text())
+            want = int(meta.get("max_tiles_per_gaussian",
+                                self.render_cfg["max_tiles_per_gaussian"]))
+            while self.render_cfg["max_tiles_per_gaussian"] < want:
+                if not self.grow_tile_window():
+                    break
+        log.info(f"resumed from checkpoint iter {it} ({path})")
+        return state, it

@@ -296,3 +296,141 @@ def test_sharded_trainer_matches_replicated_curve():
     # the training state is genuinely sharded
     shard_dev = {d.id for d in ss.gaussians.mu_local.sharding.device_set}
     assert len(shard_dev) == 4
+
+
+@pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
+def test_frame_dp_mesh_trainer_matches_unsharded():
+    """AvatarTrainer(mesh=...) — the pipeline's parallel.n_data path — must
+    produce the same loss curve as the unsharded trainer on the same frame
+    batch (frame-DP via sharding constraints; XLA inserts the psum)."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.train.trainer import AvatarTrainer
+
+    S, B = 32, 4
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((B, 100))})
+    rng = np.random.default_rng(3)
+    data = {
+        "images": jnp.asarray(rng.integers(0, 255, (B, S, S, 3)), jnp.uint8),
+        "verts": verts,
+        "w2c": jnp.tile(jnp.asarray(np.asarray(cam.w2c))[None], (B, 1, 1)),
+        "fx": jnp.full((B,), cam.fx), "fy": jnp.full((B,), cam.fy),
+        "cx": jnp.full((B,), cam.cx), "cy": jnp.full((B,), cam.cy),
+    }
+    cfg = TrainConfig(batch_frames=B, max_gaussians=1024, sh_degree=1,
+                      densify_interval=0, opacity_reset_interval=0)
+
+    plain = AvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                          max_per_tile=128, use_pallas="never")
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    dp = AvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                       max_per_tile=128, use_pallas="never", mesh=mesh)
+
+    s_plain = plain.init_state(capacity=1024)
+    s_dp = dp.init_state(capacity=1024)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    for _ in range(4):
+        s_plain, m_plain = plain._step_fn(s_plain, data, idx)
+        s_dp, m_dp = dp._step_fn(s_dp, data, idx)
+        assert abs(float(m_plain["loss"]) - float(m_dp["loss"])) < 1e-4, (
+            float(m_plain["loss"]), float(m_dp["loss"]))
+    np.testing.assert_allclose(np.asarray(s_dp.gaussians.color),
+                               np.asarray(s_plain.gaussians.color), atol=1e-3)
+
+
+@pytest.mark.skipif(N_DEV < 8, reason="needs 8 virtual devices")
+def test_2d_data_gauss_sharded_trainer():
+    """The (data x gauss) 2D mesh: each data row fits its own frame against
+    the gaussian shards; the step's loss equals the replicated trainer's
+    mean loss over the same frame batch, and FLAME co-optimization works
+    through the shard_map transpose."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+    from omfs4d.train.trainer import AvatarTrainer
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    S, B = 32, 2
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    gt_params = {"shape": jnp.zeros(300), "expr": jnp.zeros((B, 100)),
+                 "jaw_pose": jnp.zeros((B, 3)).at[1, 0].set(0.2)}
+    verts = flame_forward(model, gt_params)
+    gt_avatar = textured_gt_avatar(model)
+    images = np.stack([
+        (np.clip(np.asarray(render_avatar_frame(
+            gt_avatar, verts[i], model.faces, cam, S, S, backend="never",
+            max_per_tile=512)[0]), 0, 1) * 255).astype(np.uint8)
+        for i in range(B)
+    ])
+    data = {
+        "images": jnp.asarray(images),
+        "verts": jnp.asarray(verts),
+        "w2c": jnp.tile(jnp.asarray(np.asarray(cam.w2c))[None], (B, 1, 1)),
+        "fx": jnp.full((B,), cam.fx), "fy": jnp.full((B,), cam.fy),
+        "cx": jnp.full((B,), cam.cx), "cy": jnp.full((B,), cam.cy),
+    }
+    cfg = TrainConfig(batch_frames=B, max_gaussians=1024, sh_degree=1,
+                      densify_interval=0, opacity_reset_interval=0)
+    g0 = init_gaussians_on_mesh(np.asarray(model.faces), 1024, seed=0,
+                                sh_degree=1)
+
+    # replicated reference on the same 2-frame batch
+    rep = AvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                        max_per_tile=512, use_pallas="never")
+    rs = rep.init_state(capacity=1024)._replace(gaussians=g0)
+    rs = rs._replace(opt_state=rep.optimizer.init(
+        {k: getattr(g0, k) for k in ("mu_local", "quat_local", "log_scale",
+                                     "opacity_logit", "color", "sh")}))
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "gauss"))
+    tr2d = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                mesh=mesh2d, max_per_tile=512,
+                                data_axis="data")
+    ss = tr2d.init_state(gaussians=g0)
+
+    idx = jnp.arange(B, dtype=jnp.int32)
+    for _ in range(4):
+        rs, rm = rep._step_fn(rs, data, idx)
+        ss, sm = tr2d.step(ss, data, idx)
+        assert abs(float(rm["loss"]) - float(sm["loss"])) < 3e-3, (
+            float(rm["loss"]), float(sm["loss"]))
+
+    # FLAME co-optimization on the 2D sharded path: a wrong jaw pose must
+    # move toward GT through the shard_map transpose
+    cfg_f = TrainConfig(batch_frames=B, max_gaussians=1024, sh_degree=1,
+                        densify_interval=0, opacity_reset_interval=0,
+                        optimize_flame=True, lr_flame_pose=2e-3)
+    tr_f = ShardedAvatarTrainer(np.asarray(model.faces), cfg_f, S, S,
+                                mesh=mesh2d, max_per_tile=512,
+                                data_axis="data", flame_model=model)
+    # g0's buffers were donated by the replicated step above — rebuild
+    g0f = init_gaussians_on_mesh(np.asarray(model.faces), 1024, seed=0,
+                                 sh_degree=1)
+    wrong = {
+        "shape": jnp.zeros(300), "expr": jnp.zeros((B, 100)),
+        "rotation": jnp.zeros((B, 3)),
+        "neck_pose": jnp.zeros((B, 3)),
+        "jaw_pose": jnp.zeros((B, 3)).at[:, 0].set(0.3),
+        "eyes_pose": jnp.zeros((B, 6)), "translation": jnp.zeros((B, 3)),
+    }
+    sf = tr_f.init_state(gaussians=g0f, flame_params=wrong)
+    for _ in range(25):
+        sf, mf = tr_f.step(sf, data, idx)
+    jaw = np.asarray(sf.flame_params["jaw_pose"][:, 0])
+    assert np.isfinite(float(mf["loss"]))
+    assert (np.abs(jaw) < 0.3 - 1e-3).all(), jaw

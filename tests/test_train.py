@@ -334,9 +334,62 @@ def test_tile_window_auto_grows(scene):
     g = state.gaussians._replace(log_scale=state.gaussians.log_scale + 2.0)
     state = state._replace(gaussians=g)
     assert trainer.render_cfg["max_tiles_per_gaussian"] == 1
+    # log_every huge: escalation must NOT depend on the logging cadence —
+    # clip pressure is checked on its own fast cadence (<=10 iterations)
     trainer.train(_data(cam, verts, img), iterations=2, state=state,
-                  log_every=1)
+                  log_every=100000)
     assert trainer.render_cfg["max_tiles_per_gaussian"] > 1
+
+
+def test_train_resume_matches_uninterrupted(scene, tmp_path):
+    """A killed run resumed from its newest checkpoint must reach the SAME
+    final state as an uninterrupted run: full optimizer + RNG-stream replay
+    (ref lineage over chkpnt*.pth: train_ghost.py:141-156)."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=80, densify_from=10, densify_interval=30,
+                      densify_until_frac=0.8, opacity_reset_interval=0,
+                      max_gaussians=1024, batch_frames=1)
+
+    def make():
+        t = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                          max_per_tile=256, use_pallas="never")
+        return t, t.init_state(capacity=1024)
+
+    data = _data(cam, verts, img)
+
+    # uninterrupted 80 iterations
+    t_full, s_full = make()
+    s_full = t_full.train(data, iterations=80, state=s_full, log_every=1000)
+
+    # "killed" at 40 (= iterations//2 checkpoint), then resumed
+    out = tmp_path / "run"
+    t_a, s_a = make()
+    t_a.train(data, iterations=80, state=s_a, output_dir=out, log_every=1000,
+              start_iteration=0)
+    # pretend the 41..80 half never happened: restore the iter-40 checkpoint
+    t_b, s_tmpl = make()
+    from omfs4d.train.checkpoints import latest_checkpoint, restore_state
+    path40 = out / "checkpoints" / "iter_0000040"
+    assert path40.exists(), list((out / "checkpoints").iterdir())
+    s_resumed = restore_state(path40, template=s_tmpl)
+    s_resumed = t_b.train(data, iterations=80, state=s_resumed,
+                          log_every=1000, start_iteration=40)
+
+    np.testing.assert_allclose(np.asarray(s_resumed.gaussians.mu_local),
+                               np.asarray(s_full.gaussians.mu_local),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_resumed.gaussians.color),
+                               np.asarray(s_full.gaussians.color), atol=1e-5)
+    assert int(s_resumed.step) == int(s_full.step)
+    assert (np.asarray(s_resumed.gaussians.alive)
+            == np.asarray(s_full.gaussians.alive)).all()
+
+    # the restore_checkpoint entry point used by `cli train --resume`
+    found = latest_checkpoint(out)
+    assert found is not None and found[1] == 80
+    t_c, s_tmpl2 = make()
+    s_c, it_c = t_c.restore_checkpoint(out, template=s_tmpl2)
+    assert it_c == 80
 
 
 def test_dssim_bounded_on_smooth_images():
