@@ -242,6 +242,45 @@ def main():
         _mark(f"flame fit bench failed: {e}")
         flame_ips = float("nan")
 
+    # ── MFU / roofline accounting ────────────────────────────
+    # XLA's own cost model for the compiled step (flops + HBM bytes), plus
+    # an analytic count for the Pallas composite (custom calls report zero
+    # flops to XLA).  MFU denominator: v5e peak bf16 MXU throughput — the
+    # honest speed-of-light for this chip even where we run f32 (f32 work
+    # can in principle be moved to bf16 matmuls).
+    V5E_PEAK_FLOPS = 197e12
+    V5E_HBM_BW = 819e9          # bytes/s
+    xla_flops = xla_bytes = None
+    try:
+        ca = trainer._step_fn.lower(state, data, idx0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            xla_flops = float(ca.get("flops", 0.0))
+            xla_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001 — accounting must never kill bench
+        _mark(f"cost_analysis unavailable: {e}")
+
+    # Pallas composite analytic count: per tile the transmittance is a
+    # (K x K) triangular matmul against (K x P) alphas, fwd + bwd ~ 3x.
+    grid_tiles = ((W + 15) // 16) * ((H + 15) // 16)
+    K, Ppix = max_per_tile, 16 * 16
+    pallas_flops = (3 * grid_tiles * (2 * K * K * Ppix)
+                    if use_pallas == "always" else 0.0)
+
+    mfu = bytes_per_step = roofline = None
+    if train_ips and np.isfinite(train_ips) and xla_flops is not None:
+        total_flops = xla_flops + pallas_flops
+        mfu = total_flops * train_ips / V5E_PEAK_FLOPS
+        bytes_per_step = xla_bytes
+        if xla_bytes:
+            # which wall is closer at this op mix
+            t_compute = total_flops / V5E_PEAK_FLOPS
+            t_memory = xla_bytes / V5E_HBM_BW
+            roofline = "memory" if t_memory > t_compute else "compute"
+            _mark(f"mfu={mfu:.4f} flops/step={total_flops:.3e} "
+                  f"bytes/step={xla_bytes:.3e} bound={roofline}")
+
     def _num(x, nd=3):
         """nan/inf -> None so the emitted line is strictly valid JSON."""
         x = float(x)
@@ -260,6 +299,12 @@ def main():
             "backend": backend,
             "pallas": use_pallas == "always",
             "tpu_unreachable": not tpu_ok,
+            "mfu": _num(mfu, 5) if mfu is not None else None,
+            "flops_per_step": (_num(xla_flops + pallas_flops, 0)
+                               if xla_flops is not None else None),
+            "bytes_per_step": (_num(bytes_per_step, 0)
+                               if bytes_per_step else None),
+            "roofline_bound": roofline,
         },
     }
     print(json.dumps(result))
