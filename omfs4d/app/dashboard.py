@@ -64,13 +64,32 @@ with tab1:
             st.success(f"mesh: {mesh.n_points} pts / {mesh.n_faces} tris")
     with col2:
         nifti = st.file_uploader("ToothFairy3 labels (.nii.gz)")
+        # per-structure include checkboxes (ref app.py:625-657)
+        st.caption("Structures to include:")
+        cs1, cs2, cs3 = st.columns(3)
+        inc_lower = cs1.checkbox("Mandible", value=True, key="inc_lower")
+        inc_upper = cs2.checkbox("Maxilla", value=True, key="inc_upper")
+        inc_teeth = cs3.checkbox("Teeth", value=True, key="inc_teeth")
         if nifti and st.button("Extract Jaws from NIfTI"):
-            from omfs4d.clinical.loader import nifti_label_to_separate_meshes
-            with tempfile.NamedTemporaryFile(suffix=".nii.gz", delete=False) as f:
-                f.write(nifti.getvalue())
-                out = nifti_label_to_separate_meshes(f.name)
-            session.load_meshes(out["maxilla_mesh"], out["mandible_mesh"])
-            st.success("separate maxilla + mandible loaded")
+            from omfs4d.clinical.loader import (
+                LOWER_TEETH_LABELS, UPPER_TEETH_LABELS,
+                nifti_label_to_separate_meshes,
+            )
+            upper_ids = ([2] if inc_upper else []) + (
+                UPPER_TEETH_LABELS if inc_teeth else [])
+            lower_ids = ([1] if inc_lower else []) + (
+                LOWER_TEETH_LABELS if inc_teeth else [])
+            if not upper_ids and not lower_ids:
+                st.error("Select at least one structure to include.")
+            else:
+                with tempfile.NamedTemporaryFile(suffix=".nii.gz",
+                                                 delete=False) as f:
+                    f.write(nifti.getvalue())
+                    out = nifti_label_to_separate_meshes(
+                        f.name, include_upper_labels=upper_ids,
+                        include_lower_labels=lower_ids)
+                session.load_meshes(out["maxilla_mesh"], out["mandible_mesh"])
+                st.success("separate maxilla + mandible loaded")
         if st.button("Demo spheres"):
             session.load_demo_sphere()
             st.success("demo anatomy loaded")
@@ -78,11 +97,11 @@ with tab1:
     if session.maxilla is not None:
         st.header("Step 2 — Define cut planes & perform osteotomies")
         if session.mandible is not None:
-            st.success("✅ Separate maxilla & mandible loaded — cuts will be "
-                       "anatomically correct.")
+            st.success("Maxilla and mandible are separate meshes, so each "
+                       "cut stays on its own bone.")
         else:
-            st.warning("⚠️ Single mesh mode — for best results, load from "
-                       "ToothFairy3 labels.")
+            st.warning("Working on one combined mesh; ToothFairy3 labels "
+                       "give cleaner per-jaw cuts.")
         b = session.maxilla.bounds
         st.info(f"📏 Mesh bounds — X: [{b[0]:.1f}, {b[1]:.1f}] · "
                 f"Y: [{b[2]:.1f}, {b[3]:.1f}] · Z: [{b[4]:.1f}, {b[5]:.1f}]")
@@ -110,7 +129,7 @@ with tab1:
                 bl_y = st.slider("BSSO-L Yaw", -45.0, 45.0, 0.0, 1.0)
                 br_p = st.slider("BSSO-R Pitch", -45.0, 45.0, 0.0, 1.0)
                 br_y = st.slider("BSSO-R Yaw", -45.0, 45.0, 0.0, 1.0)
-            do_cut = st.button("✂️ Perform Osteotomies", type="primary")
+            do_cut = st.button("✂️ Cut bone segments", type="primary")
 
         cut_args = dict(lefort_z=lefort_z, bsso_l_x=bsso_l, bsso_r_x=bsso_r,
                         lefort_pitch=lf_p, lefort_yaw=lf_y,
@@ -327,7 +346,7 @@ with tab2:
             st.session_state.model_dir = str(
                 pipe.train(data_dir, model_dir, iterations=iters))
         st.success("training complete")
-    if c3.button("🎬 Generate Prediction from Surgical Plan", type="primary"):
+    if c3.button("🎬 Render post-op prediction", type="primary"):
         if plan["maxilla_mm"] == 0.0 and plan["mandible_mm"] == 0.0:
             st.warning("Both advancement values are 0.0 mm. Set the "
                        "movement sliders in the Planning tab first.")
