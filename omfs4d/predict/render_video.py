@@ -47,6 +47,7 @@ def render_dataset_frames(
     max_tiles_per_gaussian: int = 16,
     white_background: bool = True,
     n_tile: int = 1,
+    large_frac: float = 0.125,
 ) -> Path:
     """Render every frame of a dataset split with the given avatar.
 
@@ -117,6 +118,7 @@ def render_dataset_frames(
             background=bg_arr,
             backend=backend, max_per_tile=max_per_tile,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
+            large_frac=large_frac,
         )
         return img
 
@@ -198,11 +200,13 @@ def render_prediction(
     # render with (at least) the tile window the trainer escalated to —
     # a smaller window would clip the large gaussians the training loss
     # optimized through (checkpoints/iter_*_meta.json)
-    from omfs4d.train.checkpoints import trained_tile_window
-    window = max(16, trained_tile_window(model_dir, it) or 16)
-    if window > 16:
+    from omfs4d.train.checkpoints import trained_render_meta
+    meta = trained_render_meta(model_dir, it)
+    window = max(16, int(meta.get("max_tiles_per_gaussian", 0)) or 16)
+    large_frac = max(0.125, float(meta.get("large_frac", 0.125)))
+    if window > 16 or large_frac > 0.125:
         log.info(f"render window: max_tiles_per_gaussian={window} "
-                 "(from training meta)")
+                 f"large_frac={large_frac} (from training meta)")
 
     # clear stale renders (parity: render_surgery.py:260-267)
     train_dir = model_dir / "train"
@@ -225,6 +229,7 @@ def render_prediction(
             flame_model, gaussians, modified, renders_dir, out_gt=gt_dir,
             split="train", backend=backend, white_background=white_background,
             max_tiles_per_gaussian=window, n_tile=n_tile,
+            large_frac=large_frac,
         )
 
         if export_frames_dir:

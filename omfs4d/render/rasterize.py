@@ -49,6 +49,9 @@ class TileBinning(NamedTuple):
     tile_counts: jnp.ndarray    # (num_tiles,) int32 — valid entries per tile
     overflow: jnp.ndarray       # () int32 — pairs dropped by the K cap
     window_clipped: jnp.ndarray # () int32 — gaussians larger than the window
+    spilled: jnp.ndarray        # () int32 — mid-size gaussians past the
+    #                               large-class budget (two-class binning
+    #                               only; grow `large_frac` to relieve)
 
 
 def bin_gaussians(
@@ -59,15 +62,26 @@ def bin_gaussians(
     tile: int = 16,
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 16,
+    small_tiles_per_gaussian: int = 4,
+    large_frac: float = 0.125,
+    two_class_min_n: int = 4096,
+    large_min: int = 1024,
 ) -> TileBinning:
     """Build depth-sorted per-tile gaussian lists.
 
-    A gaussian covers the tiles intersecting its 3-sigma screen box; each
-    gaussian may claim at most `max_tiles_per_gaussian` tiles (enumerated as
-    a static (kh, kw) window — large gaussians get their nearest tiles).
-    The default 4x4 window (64px at tile=16) covers post-densification
-    avatar gaussians; raise it for scenes with large background gaussians
-    (pair count — and the sort — scales linearly with it).
+    A gaussian covers the tiles intersecting its 3-sigma screen box,
+    enumerated as a static (kh, kw) window — larger gaussians get their
+    nearest tiles.  For scenes with >= `two_class_min_n` gaussians the
+    window budget is TWO-CLASS: every gaussian gets the cheap
+    `small_tiles_per_gaussian` window (2x2 = 32px at tile=16 — the vast
+    majority of post-densification avatar gaussians), and the
+    `max(large_min, n*large_frac)` largest-by-radius gaussians whose 3-sigma
+    box exceeds it get the full `max_tiles_per_gaussian` window.  The
+    sort cost scales with total pairs, so this is ~3-8x less sort
+    traffic than a uniform window while covering big gaussians a
+    uniform budget would clip (the round-2 window-escalation latency
+    problem).  Small scenes keep the uniform `max_tiles_per_gaussian`
+    window (bitwise-identical to the round-2 behavior).
     """
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
@@ -91,31 +105,6 @@ def bin_gaussians(
     y0 = jnp.clip(jnp.floor((uv[:, 1] - radius) / tile), 0, grid_h - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((uv[:, 1] + radius) / tile), 0, grid_h - 1).astype(jnp.int32)
 
-    # static (kh, kw) enumeration window
-    kw = int(max(1, round(max_tiles_per_gaussian ** 0.5)))
-    kh = (max_tiles_per_gaussian + kw - 1) // kw
-    dy = jnp.arange(kh, dtype=jnp.int32)
-    dx = jnp.arange(kw, dtype=jnp.int32)
-    ty = y0[:, None, None] + dy[None, :, None]            # (n, kh, 1)
-    tx = x0[:, None, None] + dx[None, None, :]            # (n, 1, kw)
-    pair_ok = (
-        visible[:, None, None]
-        & (ty <= y1[:, None, None])
-        & (tx <= x1[:, None, None])
-    )                                                      # (n, kh, kw)
-    # observability: gaussians whose 3σ box exceeds the static window get
-    # only their nearest (kh, kw) tiles — count them so silent quality loss
-    # is visible in training metrics
-    window_clipped = jnp.sum(
-        visible & (((x1 - x0 + 1) > kw) | ((y1 - y0 + 1) > kh))
-    )
-    tile_id = ty * grid_w + tx                             # (n, kh, kw)
-
-    flat_tile = jnp.where(pair_ok, tile_id, num_tiles).reshape(-1).astype(jnp.int32)
-    flat_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None, None], pair_ok.shape
-    ).reshape(-1)
-
     # single fused int32 key:  [tile | quantized depth].  Positive-float bit
     # patterns are monotone, so the top `depth_bits` of the f32 encoding sort
     # identically to the value; one-key one-payload sort moves ~40% less data
@@ -124,7 +113,65 @@ def bin_gaussians(
     depth_bits = 31 - tile_bits
     d_q1 = jax.lax.bitcast_convert_type(
         jnp.maximum(depth, 0.0), jnp.int32) >> (31 - depth_bits)
-    d_q = jnp.broadcast_to(d_q1[:, None, None], pair_ok.shape).reshape(-1)
+
+    def window_pairs(g_x0, g_y0, g_x1, g_y1, ok, g_dq, g_idx, kh, kw):
+        """Flat (tile, idx, depth-key) pair arrays for one window class."""
+        dy = jnp.arange(kh, dtype=jnp.int32)
+        dx = jnp.arange(kw, dtype=jnp.int32)
+        ty = g_y0[:, None, None] + dy[None, :, None]       # (g, kh, 1)
+        tx = g_x0[:, None, None] + dx[None, None, :]       # (g, 1, kw)
+        pair_ok = (
+            ok[:, None, None]
+            & (ty <= g_y1[:, None, None])
+            & (tx <= g_x1[:, None, None])
+        )                                                   # (g, kh, kw)
+        tid = ty * grid_w + tx
+        f_tile = jnp.where(pair_ok, tid, num_tiles).reshape(-1).astype(jnp.int32)
+        f_idx = jnp.broadcast_to(
+            g_idx[:, None, None], pair_ok.shape).reshape(-1)
+        f_dq = jnp.broadcast_to(
+            g_dq[:, None, None], pair_ok.shape).reshape(-1)
+        return f_tile, f_idx, f_dq
+
+    kw_l = int(max(1, round(max_tiles_per_gaussian ** 0.5)))
+    kh_l = (max_tiles_per_gaussian + kw_l - 1) // kw_l
+    kw_s = int(max(1, round(small_tiles_per_gaussian ** 0.5)))
+    kh_s = (small_tiles_per_gaussian + kw_s - 1) // kw_s
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+    span_x, span_y = x1 - x0 + 1, y1 - y0 + 1
+
+    if n >= two_class_min_n and max_tiles_per_gaussian > small_tiles_per_gaussian:
+        needs_large = visible & ((span_x > kw_s) | (span_y > kh_s))
+        m = min(n, max(large_min, int(round(n * large_frac))))
+        score = jnp.where(needs_large, radius, -1.0)
+        top_vals, large_sel = jax.lax.top_k(score, m)
+        sel_ok = top_vals > 0
+        is_large = jnp.zeros((n,), bool).at[large_sel].set(sel_ok)
+        ft_s, fi_s, fd_s = window_pairs(
+            x0, y0, x1, y1, visible & ~is_large, d_q1, idx_all, kh_s, kw_s)
+        ft_l, fi_l, fd_l = window_pairs(
+            x0[large_sel], y0[large_sel], x1[large_sel], y1[large_sel],
+            sel_ok, d_q1[large_sel], large_sel.astype(jnp.int32), kh_l, kw_l)
+        flat_tile = jnp.concatenate([ft_s, ft_l])
+        flat_idx = jnp.concatenate([fi_s, fi_l])
+        d_q = jnp.concatenate([fd_s, fd_l])
+        # observability — silent quality loss must be visible in training
+        # metrics, and the two failure modes have different fixes:
+        # `spilled` (mid-size gaussians past the top-m selection) is
+        # relieved by growing `large_frac`; `window_clipped` (large-class
+        # gaussians exceeding even the large window) by growing
+        # `max_tiles_per_gaussian`.
+        spilled = jnp.sum(needs_large & ~is_large)
+        window_clipped = jnp.sum(
+            sel_ok & ((span_x[large_sel] > kw_l)
+                      | (span_y[large_sel] > kh_l)))
+    else:
+        flat_tile, flat_idx, d_q = window_pairs(
+            x0, y0, x1, y1, visible, d_q1, idx_all, kh_l, kw_l)
+        window_clipped = jnp.sum(
+            visible & ((span_x > kw_l) | (span_y > kh_l)))
+        spilled = jnp.zeros((), jnp.int32)
+
     key = (flat_tile << depth_bits) | d_q
 
     # sorted by (tile, depth): nearest-first inside each tile
@@ -150,7 +197,8 @@ def bin_gaussians(
         valid, s_idx[jnp.clip(pos, 0, n_pairs - 1)], 0
     )
 
-    return TileBinning(tile_lists, tile_counts, overflow, window_clipped)
+    return TileBinning(tile_lists, tile_counts, overflow, window_clipped,
+                       spilled)
 
 
 def _tile_pixel_centers(grid_w: int, grid_h: int, tile: int) -> jnp.ndarray:
@@ -265,7 +313,9 @@ def _use_pallas(mode: str) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile", "max_per_tile",
-                     "max_tiles_per_gaussian", "backend"),
+                     "max_tiles_per_gaussian", "backend",
+                     "small_tiles_per_gaussian", "large_frac",
+                     "two_class_min_n"),
 )
 def rasterize(
     means: jnp.ndarray,        # (N, 3) world
@@ -281,6 +331,9 @@ def rasterize(
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 16,
     backend: str = "auto",
+    small_tiles_per_gaussian: int = 4,
+    large_frac: float = 0.125,
+    two_class_min_n: int = 4096,
 ):
     """Full differentiable rasterization of one frame.
 
@@ -294,6 +347,8 @@ def rasterize(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
         jax.lax.stop_gradient(opacity),
         width, height, tile, max_per_tile, max_tiles_per_gaussian,
+        small_tiles_per_gaussian=small_tiles_per_gaussian,
+        large_frac=large_frac, two_class_min_n=two_class_min_n,
     )
 
     if _use_pallas(backend):
@@ -312,7 +367,8 @@ def rasterize(
         background = jnp.ones((3,), jnp.float32)
     img = img + (1.0 - alpha)[..., None] * background
     return img, {"alpha": alpha, "overflow": binning.overflow,
-                 "window_clipped": binning.window_clipped}
+                 "window_clipped": binning.window_clipped,
+                 "spilled": binning.spilled}
 
 
 def render_avatar_frame(

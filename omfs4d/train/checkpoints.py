@@ -72,30 +72,38 @@ def checkpoint_lineage(output_dir: str | Path) -> list[dict]:
     return sorted(rows, key=lambda r: r["iteration"])
 
 
-def trained_tile_window(output_dir: str | Path,
-                        iteration: int | None = None) -> int | None:
-    """max_tiles_per_gaussian the trainer ended up using (escalation is
-    adaptive), read from the checkpoint meta.  The prediction renderer must
-    render with AT LEAST this window — the avatar was optimized against it,
-    and re-rendering with a smaller one clips exactly the large gaussians
+def trained_render_meta(output_dir: str | Path,
+                        iteration: int | None = None) -> dict:
+    """Runtime render knobs the trainer ended up using (escalation is
+    adaptive), read from the checkpoint meta: max_tiles_per_gaussian and
+    the two-class binning large_frac.  The prediction renderer must render
+    with AT LEAST these — the avatar was optimized against them, and
+    re-rendering with a smaller window clips exactly the large gaussians
     the training loss relied on (measured: ~10 dB of selfrecon at 512^2)."""
     import json
 
     ckpt_root = Path(output_dir) / "checkpoints"
     if not ckpt_root.is_dir():
-        return None
+        return {}
     metas = sorted(ckpt_root.glob("iter_*_meta.json"))
     if iteration is not None:
         exact = ckpt_root / f"iter_{iteration:07d}_meta.json"
         if exact.exists():
             metas = [exact]
     if not metas:
-        return None
+        return {}
     try:
-        return int(json.loads(metas[-1].read_text())
-                   .get("max_tiles_per_gaussian", 0)) or None
+        return json.loads(metas[-1].read_text())
     except (ValueError, json.JSONDecodeError, OSError):
-        return None
+        return {}
+
+
+def trained_tile_window(output_dir: str | Path,
+                        iteration: int | None = None) -> int | None:
+    """max_tiles_per_gaussian from the checkpoint meta (see
+    :func:`trained_render_meta`)."""
+    return int(trained_render_meta(output_dir, iteration)
+               .get("max_tiles_per_gaussian", 0)) or None
 
 
 def latest_iteration(output_dir: str | Path) -> int | None:

@@ -108,6 +108,10 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
         width, height,
         render_cfg["tile"], render_cfg["max_per_tile"],
         render_cfg["max_tiles_per_gaussian"],
+        small_tiles_per_gaussian=render_cfg.get("small_tiles_per_gaussian", 4),
+        large_frac=render_cfg.get("large_frac", 0.125),
+        two_class_min_n=render_cfg.get("two_class_min_n", 4096),
+        large_min=render_cfg.get("large_min", 1024),
     )
     if render_cfg["use_pallas"]:
         from omfs4d.render.pallas_kernels import composite_pallas
@@ -117,7 +121,7 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
         img, alpha = composite_reference(proj["uv"], proj["conic"], cols, opac,
                                          binning, width, height, render_cfg["tile"])
     img = img + (1.0 - alpha)[..., None] * bg
-    return img, (binning.overflow, binning.window_clipped)
+    return img, (binning.overflow, binning.window_clipped, binning.spilled)
 
 
 def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
@@ -250,6 +254,10 @@ class AvatarTrainer:
             "tile": tile,
             "max_per_tile": max_per_tile,
             "max_tiles_per_gaussian": max_tiles_per_gaussian,
+            "small_tiles_per_gaussian": 4,
+            "large_frac": 0.125,
+            "two_class_min_n": 4096,
+            "large_min": 1024,
             "use_pallas": pallas_on,
         }
         self.optimizer = make_optimizer(cfg)
@@ -391,12 +399,13 @@ class AvatarTrainer:
             flame_params=flame_p,
             flame_opt_state=flame_opt_state,
         )
-        overflow, window_clipped = stats
+        overflow, window_clipped, spilled = stats
         metrics = {
             "loss": loss,
             "psnr": psnr(rendered, imgs.astype(jnp.float32)),
             "overflow": jnp.sum(overflow),
             "window_clipped": jnp.sum(window_clipped),
+            "window_spilled": jnp.sum(spilled),
             "n_alive": g.alive.sum(),
         }
         return new_state, metrics
@@ -428,12 +437,18 @@ class AvatarTrainer:
     WINDOW_CHECK_EVERY = 10
     WINDOW_CHECK_UNTIL = 500
     _window_capped = False
+    _frac_capped = False
+
+    def _recompile_step_fns(self):
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._eval_fn = jax.jit(self._eval_frame)
 
     def grow_tile_window(self) -> bool:
         """Double max_tiles_per_gaussian (recompiles the step fns).
 
-        Returns False once the cap is reached; the clipped count stays
-        observable in metrics either way."""
+        Relieves `window_clipped` — large-class gaussians whose 3σ box
+        exceeds the large window.  Returns False once the cap is reached;
+        the clipped count stays observable in metrics either way."""
         cur = self.render_cfg["max_tiles_per_gaussian"]
         if cur >= self.MAX_TILE_WINDOW:
             log.warning(
@@ -443,8 +458,23 @@ class AvatarTrainer:
         self.render_cfg["max_tiles_per_gaussian"] = cur * 2
         log.info(f"growing max_tiles_per_gaussian {cur} -> {cur * 2} "
                  f"(window-clip pressure)")
-        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
-        self._eval_fn = jax.jit(self._eval_frame)
+        self._recompile_step_fns()
+        return True
+
+    def grow_large_frac(self) -> bool:
+        """Double the two-class binning's large-window budget (recompiles).
+
+        Relieves `window_spilled` — mid-size gaussians past the top-m
+        large-class selection, which growing max_tiles_per_gaussian would
+        NOT fix.  At large_frac >= 1.0 every gaussian that needs the large
+        window gets it and spill is impossible."""
+        cur = self.render_cfg["large_frac"]
+        if cur >= 1.0:
+            return False
+        self.render_cfg["large_frac"] = min(1.0, cur * 2)
+        log.info(f"growing binning large_frac {cur} -> "
+                 f"{self.render_cfg['large_frac']} (window-spill pressure)")
+        self._recompile_step_fns()
         return True
 
     def _eval_frame(self, gaussians, verts, w2c, fx, fy, cx, cy):
@@ -526,13 +556,20 @@ class AvatarTrainer:
             # check drops to the log cadence so the metric fetch stops
             # stalling the async dispatch pipeline.
             early = it <= self.WINDOW_CHECK_UNTIL
-            if (not self._window_capped
+            if (not (self._window_capped and self._frac_capped)
                     and ((early and (it <= self.WINDOW_CHECK_EVERY
                                      or it % self.WINDOW_CHECK_EVERY == 0))
                          or it % log_every == 0)):
                 clipped = float(metrics["window_clipped"])
+                spilled = float(metrics["window_spilled"])
                 alive = float(metrics["n_alive"])
-                if clipped / max(alive, 1.0) > 0.02:
+                # two levers for two failure modes: spill past the
+                # large-class budget needs a bigger budget (large_frac);
+                # gaussians exceeding the large window need a bigger window
+                if spilled / max(alive, 1.0) > 0.02 and not self._frac_capped:
+                    if not self.grow_large_frac():
+                        self._frac_capped = True
+                if clipped / max(alive, 1.0) > 0.02 and not self._window_capped:
                     if not self.grow_tile_window():
                         self._window_capped = True
 
@@ -576,6 +613,7 @@ class AvatarTrainer:
                 "iteration": iteration,
                 "max_tiles_per_gaussian":
                     self.render_cfg["max_tiles_per_gaussian"],
+                "large_frac": self.render_cfg["large_frac"],
             }))
         export_point_cloud(out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
                            state.gaussians)
@@ -606,6 +644,11 @@ class AvatarTrainer:
                                 self.render_cfg["max_tiles_per_gaussian"]))
             while self.render_cfg["max_tiles_per_gaussian"] < want:
                 if not self.grow_tile_window():
+                    break
+            want_frac = float(meta.get("large_frac",
+                                       self.render_cfg["large_frac"]))
+            while self.render_cfg["large_frac"] < want_frac:
+                if not self.grow_large_frac():
                     break
         log.info(f"resumed from checkpoint iter {it} ({path})")
         return state, it

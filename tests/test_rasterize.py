@@ -129,6 +129,50 @@ class TestRasterize:
         assert np.abs(np.asarray(gm)).max() > 0
         assert np.abs(np.asarray(go)).max() > 0
 
+    def test_two_class_binning_parity(self, cam):
+        """Two-class (small/large window) binning must composite the same
+        image as a uniform window when the large window covers every
+        gaussian — only the pair-enumeration strategy differs."""
+        from omfs4d.render.rasterize import composite_reference
+
+        means, rot, scales, opacity, colors = random_scene(200, seed=5)
+        # add a handful of big gaussians that need more than a 2x2 window
+        scales[:8] = 0.5
+        proj = project_gaussians(cam, jnp.asarray(means), jnp.asarray(rot),
+                                 jnp.asarray(scales))
+        op = jnp.asarray(opacity)
+        uniform = bin_gaussians(proj, op, 64, 64, tile=16, max_per_tile=256,
+                                max_tiles_per_gaussian=16)
+        two_class = bin_gaussians(proj, op, 64, 64, tile=16, max_per_tile=256,
+                                  max_tiles_per_gaussian=16,
+                                  two_class_min_n=1)
+        assert int(uniform.window_clipped) == 0
+        assert int(two_class.window_clipped) == 0
+        args = (proj["uv"], proj["conic"], jnp.asarray(colors), op)
+        img_u, alpha_u = composite_reference(*args, uniform, 64, 64, tile=16)
+        img_t, alpha_t = composite_reference(*args, two_class, 64, 64, tile=16)
+        np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_u),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(alpha_t), np.asarray(alpha_u),
+                                   atol=1e-6)
+
+    def test_two_class_covers_large_gaussian_small_budget(self, cam):
+        """A big gaussian must get the LARGE window under two-class binning
+        (the uniform-small alternative would clip it and lose its tail)."""
+        means, rot, scales, opacity, colors = random_scene(64, seed=6)
+        scales[0] = 0.8                    # spans most of the 64px frame
+        means[0, 2] = 0.0
+        proj = project_gaussians(cam, jnp.asarray(means), jnp.asarray(rot),
+                                 jnp.asarray(scales))
+        op = jnp.asarray(opacity)
+        binning = bin_gaussians(proj, op, 64, 64, tile=16, max_per_tile=256,
+                                max_tiles_per_gaussian=16, two_class_min_n=1)
+        # gaussian 0 must appear in every tile of the 4x4 grid
+        lists = np.asarray(binning.tile_lists)
+        counts = np.asarray(binning.tile_counts)
+        present = [(0 in lists[t, :counts[t]]) for t in range(16)]
+        assert all(present), present
+
     def test_overflow_counted(self, cam):
         # 600 coincident gaussians in one tile with tiny cap
         means = np.zeros((600, 3), np.float32)

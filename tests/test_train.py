@@ -341,6 +341,30 @@ def test_tile_window_auto_grows(scene):
     assert trainer.render_cfg["max_tiles_per_gaussian"] > 1
 
 
+def test_large_frac_auto_grows_on_spill(scene):
+    """Under two-class binning, mid-size gaussians past the large-class
+    budget spill to the small window; growing max_tiles_per_gaussian does
+    NOT fix that — the trainer must escalate `large_frac` instead."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=2, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=512)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, max_tiles_per_gaussian=16,
+                            use_pallas="never")
+    # force two-class binning at test scale with a tiny large-class budget
+    trainer.render_cfg["two_class_min_n"] = 1
+    trainer.render_cfg["large_min"] = 8
+    trainer.render_cfg["large_frac"] = 8 / 512
+    state = trainer.init_state(capacity=512)
+    # inflate scales: most of the 200 alive gaussians need > the 2x2 small
+    # window, far exceeding the 8-slot large budget -> spill pressure
+    g = state.gaussians._replace(log_scale=state.gaussians.log_scale + 2.0)
+    state = state._replace(gaussians=g)
+    trainer.train(_data(cam, verts, img), iterations=2, state=state,
+                  log_every=100000)
+    assert trainer.render_cfg["large_frac"] > 8 / 512
+
+
 def test_train_resume_matches_uninterrupted(scene, tmp_path):
     """A killed run resumed from its newest checkpoint must reach the SAME
     final state as an uninterrupted run: full optimizer + RNG-stream replay
