@@ -30,9 +30,14 @@ from omfs4d.ops.camera import Camera, project_points
 
 log = get_logger("detector")
 
-# strided conv stack: channels per stage (each halves the resolution)
-_CHANNELS = (24, 48, 96, 192, 256)
-_HIDDEN = 512
+# strided conv stack: channels per stage (each halves the resolution),
+# then two stride-1 trunk convs and a 1x1 heatmap head read out by a
+# spatial softmax (soft-argmax).  A fully-convolutional localization head
+# is translation-equivariant, so it cannot memorize absolute layouts the
+# way a flattened FC regressor can (gated off-distribution in
+# track/robustness.py + tests/test_detector.py).
+_CHANNELS = (32, 64, 128)
+_TRUNK = (128, 128)
 
 
 def default_cache_dir() -> Path:
@@ -44,42 +49,73 @@ def default_cache_dir() -> Path:
 # ── network ──────────────────────────────────────────────────
 
 
+def _he_conv(key, kh, kw, c_in, c_out):
+    fan_in = kh * kw * c_in
+    return jax.random.normal(
+        key, (kh, kw, c_in, c_out), jnp.float32) * np.sqrt(2.0 / fan_in)
+
+
 def init_net(key, n_landmarks: int, image_size: int = 96) -> dict:
-    """He-init parameters for the landmark regressor (flat dict pytree)."""
+    """He-init parameters for the landmark localizer (flat dict pytree)."""
     params = {}
     c_in = 3
-    size = image_size
     for i, c_out in enumerate(_CHANNELS):
         key, k = jax.random.split(key)
-        fan_in = 3 * 3 * c_in
-        params[f"conv{i}/w"] = jax.random.normal(
-            k, (3, 3, c_in, c_out), jnp.float32) * np.sqrt(2.0 / fan_in)
+        params[f"conv{i}/w"] = _he_conv(k, 3, 3, c_in, c_out)
         params[f"conv{i}/b"] = jnp.zeros((c_out,), jnp.float32)
         c_in = c_out
-        size = (size + 1) // 2
-    flat = size * size * c_in
-    key, k1, k2 = jax.random.split(key, 3)
-    params["fc0/w"] = jax.random.normal(k1, (flat, _HIDDEN)) * np.sqrt(2.0 / flat)
-    params["fc0/b"] = jnp.zeros((_HIDDEN,), jnp.float32)
-    params["fc1/w"] = jax.random.normal(k2, (_HIDDEN, n_landmarks * 2)) * 0.01
-    # bias at image center: predictions start plausible, not at the corner
-    params["fc1/b"] = jnp.full((n_landmarks * 2,), 0.5, jnp.float32)
+    for i, c_out in enumerate(_TRUNK):
+        key, k = jax.random.split(key)
+        params[f"trunk{i}/w"] = _he_conv(k, 3, 3, c_in, c_out)
+        params[f"trunk{i}/b"] = jnp.zeros((c_out,), jnp.float32)
+        c_in = c_out
+    key, k = jax.random.split(key)
+    params["head/w"] = _he_conv(k, 1, 1, c_in, n_landmarks) * 0.1
+    params["head/b"] = jnp.zeros((n_landmarks,), jnp.float32)
+    # per-landmark softmax sharpness (log-scale, learned)
+    params["head/log_temp"] = jnp.zeros((n_landmarks,), jnp.float32)
+    # train-time input size, carried with the weights so detect() can
+    # resize inputs to the trained distribution (the net itself is fully
+    # convolutional and size-agnostic)
+    params["meta/size"] = jnp.asarray(float(image_size), jnp.float32)
     return params
 
 
 def net_apply(params: dict, images: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, S, 3) float in [0,1] -> (B, L, 2) normalized landmark coords."""
-    x = images - 0.5
+    """(B, S, S, 3) float in [0,1] -> (B, L, 2) normalized landmark coords.
+
+    Per-image standardization makes the features invariant to global
+    gain/bias (photometric robustness by construction); the soft-argmax
+    readout keeps localization translation-equivariant."""
+    mu = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+    sd = jnp.std(images, axis=(1, 2, 3), keepdims=True)
+    x = (images - mu) / (sd + 1e-5)
     for i in range(len(_CHANNELS)):
         x = jax.lax.conv_general_dilated(
             x, params[f"conv{i}/w"], (2, 2), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + params[f"conv{i}/b"]
         x = jax.nn.relu(x)
-    x = x.reshape(x.shape[0], -1)
-    x = jax.nn.relu(x @ params["fc0/w"] + params["fc0/b"])
-    out = x @ params["fc1/w"] + params["fc1/b"]
-    return out.reshape(x.shape[0], -1, 2)
+    for i in range(len(_TRUNK)):
+        x = jax.lax.conv_general_dilated(
+            x, params[f"trunk{i}/w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params[f"trunk{i}/b"]
+        x = jax.nn.relu(x)
+    logits = jax.lax.conv_general_dilated(
+        x, params["head/w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["head/b"]                                  # (B, h, w, L)
+    B, h, w, L = logits.shape
+    temp = jnp.exp(params["head/log_temp"])
+    flat = logits.reshape(B, h * w, L) * temp
+    attn = jax.nn.softmax(flat, axis=1).reshape(B, h, w, L)
+    # expected position over normalized cell centers
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ex = jnp.einsum("bhwl,w->bl", attn, xs)
+    ey = jnp.einsum("bhwl,h->bl", attn, ys)
+    return jnp.stack([ex, ey], axis=-1)                   # (B, L, 2) in [0,1]
 
 
 def save_detector(path: str | Path, params: dict) -> None:
@@ -130,7 +166,7 @@ class SyntheticFaceSampler:
         bank = [textured_gt_avatar(model, seed=s) for s in range(n_textures)]
         self.avatars = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *bank)
-        self._batch_fn = None
+        self._batch_fn = {}  # keyed by batch_size
 
     def _sample_one(self, key, avatar) -> tuple[jnp.ndarray, jnp.ndarray]:
         from omfs4d.render.rasterize import render_avatar_frame
@@ -167,33 +203,84 @@ class SyntheticFaceSampler:
             width=S, height=S,
         )
 
+        # texture jitter: per-sample scale/shift of the avatar's color
+        # logits so the net cannot memorize the bank's exact palettes
+        kj = jax.random.split(ks[11], 3)
+        avatar = avatar._replace(color=(
+            avatar.color * jax.random.uniform(kj[0], (), minval=0.7,
+                                              maxval=1.3)
+            + 0.5 * jax.random.normal(kj[1], (1, 3))))
+
         img, aux = render_avatar_frame(
             avatar, verts, model.faces, cam, S, S,
             background=jnp.zeros(3), max_per_tile=self.max_per_tile,
             backend=self.backend,
         )
-        # vertical-gradient background + photometric jitter + sensor noise
-        kb = jax.random.split(ks[11], 5)
-        c_top = jax.random.uniform(kb[0], (3,))
-        c_bot = jax.random.uniform(kb[1], (3,))
-        ramp = jnp.linspace(0.0, 1.0, S)[:, None, None]
-        bg = c_top * (1 - ramp) + c_bot * ramp
+        # randomized background: linear gradient along a random direction,
+        # or near-solid with sensor noise
+        kb = jax.random.split(kj[2], 10)
+        c_a = jax.random.uniform(kb[0], (3,))
+        c_b = jax.random.uniform(kb[1], (3,))
+        theta = jax.random.uniform(kb[2], (), minval=0.0, maxval=2 * jnp.pi)
+        yy = jnp.linspace(-0.5, 0.5, S)[:, None]
+        xx = jnp.linspace(-0.5, 0.5, S)[None, :]
+        t = (yy * jnp.sin(theta) + xx * jnp.cos(theta) + 0.5)[..., None]
+        t = jnp.where(jax.random.bernoulli(kb[3], 0.25), 0.5, t)  # solid
+        bg = c_a * (1 - t) + c_b * t
         alpha = aux["alpha"][..., None]
         img = img + (1.0 - alpha) * bg
-        gain = jax.random.uniform(kb[2], (), minval=0.6, maxval=1.25)
-        bias = jax.random.uniform(kb[3], (), minval=-0.08, maxval=0.12)
+        gain = jax.random.uniform(kb[4], (), minval=0.55, maxval=1.35)
+        bias = jax.random.uniform(kb[5], (), minval=-0.1, maxval=0.15)
         img = jnp.clip(img * gain + bias
-                       + 0.02 * jax.random.normal(kb[4], img.shape), 0, 1)
+                       + 0.02 * jax.random.normal(kb[6], img.shape), 0, 1)
+
+        # random separable gaussian blur (sigma up to ~1.2px, half the
+        # samples): edge sharpness differs across image formations (splat
+        # vs mesh raster vs real video), so it must not become a feature
+        sig = jax.random.uniform(kb[8], (), minval=0.3, maxval=1.2)
+        offs = jnp.arange(-2.0, 3.0)
+        kern = jnp.exp(-0.5 * (offs / sig) ** 2)
+        kern = kern / kern.sum()
+        kern = jnp.where(jax.random.bernoulli(kb[9], 0.5), kern,
+                         jnp.array([0.0, 0.0, 1.0, 0.0, 0.0]))
+
+        def _depthwise(x, kh_kw, k):
+            rhs = jnp.broadcast_to(k.reshape(kh_kw + (1, 1)), kh_kw + (1, 3))
+            return jax.lax.conv_general_dilated(
+                x, rhs, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=3)
+
+        img = _depthwise(_depthwise(img[None], (5, 1), kern),
+                         (1, 5), kern)[0]
+
+        # cutout: 0-2 random opaque boxes (occlusion robustness).  The
+        # landmark labels stay put (regress-through-occlusion); the alpha
+        # label is zeroed (an occluder hides the foreground from matting).
+        alpha_lbl = aux["alpha"]
+        for kc in jax.random.split(kb[7], 2):
+            kc1, kc2, kc3, kc4 = jax.random.split(kc, 4)
+            on = jax.random.bernoulli(kc1, 0.5)
+            cyx = jax.random.uniform(kc2, (2,), minval=0.0, maxval=1.0) * S
+            half = (jax.random.uniform(kc3, (2,), minval=0.06, maxval=0.16)
+                    * S * jnp.where(on, 1.0, 0.0))
+            box = ((jnp.abs(jnp.arange(S)[:, None] + 0.5 - cyx[0])
+                    < half[0])
+                   & (jnp.abs(jnp.arange(S)[None, :] + 0.5 - cyx[1])
+                      < half[1]))
+            img = jnp.where(box[..., None],
+                            jax.random.uniform(kc4, (3,)), img)
+            alpha_lbl = jnp.where(box, 0.0, alpha_lbl)
 
         lmk3d = flame_landmarks(model, verts[None])[0]
         lmk_uv, _ = project_points(cam, lmk3d)
-        return img, lmk_uv / S, aux["alpha"]
+        return img, lmk_uv / S, alpha_lbl
 
     def batch(self, key, batch_size: int):
         """(images (B,S,S,3), labels (B,L,2) normalized, alpha (B,S,S))
         — one jit call.  `alpha` is the ground-truth foreground coverage
         (used as matting supervision by track.segnet)."""
-        if self._batch_fn is None:
+        if batch_size not in self._batch_fn:
             n_tex = jax.tree_util.tree_leaves(self.avatars)[0].shape[0]
 
             def gen(key):
@@ -204,8 +291,8 @@ class SyntheticFaceSampler:
                 return jax.vmap(self._sample_one)(
                     jax.random.split(ks, batch_size), avatars)
 
-            self._batch_fn = jax.jit(gen)
-        return self._batch_fn(key)
+            self._batch_fn[batch_size] = jax.jit(gen)
+        return self._batch_fn[batch_size](key)
 
 
 def train_detector(
@@ -262,8 +349,10 @@ def get_or_train_detector(
     if weights is not None and Path(weights).exists():
         return load_detector(weights)
     n_lmk = model.lmk_faces_idx.shape[0]
+    # "sa" = soft-argmax head (arch v2); new name so stale FC-head caches
+    # from older builds are never loaded into the new apply fn
     cache = default_cache_dir() / (
-        f"landmark_net_v{model.n_vertices}_l{n_lmk}_s{image_size}_t{steps}.npz"
+        f"landmark_net_sa_v{model.n_vertices}_l{n_lmk}_s{image_size}_t{steps}.npz"
     )
     if weights is None and cache.exists():
         log.info(f"loading cached detector weights: {cache}")
@@ -283,8 +372,7 @@ def detect(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Run the detector over a frame stack -> ((T, L, 2) px coords, valid)."""
     T, H, W = frames.shape[:3]
-    S = image_size or int(np.sqrt(params["fc0/w"].shape[0]
-                                  / _CHANNELS[-1])) * 2 ** len(_CHANNELS)
+    S = image_size or int(np.asarray(params["meta/size"]))
 
     @jax.jit
     def run(imgs):

@@ -62,8 +62,13 @@ def _conv(x, w, b, stride=1):
 
 
 def segnet_apply(params: dict, images: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, S, 3) float [0,1] -> (B, S, S) alpha logits."""
-    x = images - 0.5
+    """(B, S, S, 3) float [0,1] -> (B, S, S) alpha logits.
+
+    Per-image standardization: global gain/bias must not shift the matte
+    (photometric robustness by construction, cf. detector.net_apply)."""
+    mu = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+    sd = jnp.std(images, axis=(1, 2, 3), keepdims=True)
+    x = (images - mu) / (sd + 1e-5)
     skips = [x]
     for i in range(len(_ENC)):
         x = jax.nn.relu(_conv(x, params[f"enc{i}/w"], params[f"enc{i}/b"],
@@ -128,8 +133,9 @@ def get_or_train_segnet(
     if weights is not None and Path(weights).exists():
         data = np.load(Path(weights))
         return {k: jnp.asarray(data[k]) for k in data.files}
+    # "n2" = standardized-input arch; never load stale caches into it
     cache = default_cache_dir() / (
-        f"segnet_v{model.n_vertices}_s{image_size}_t{steps}.npz")
+        f"segnet_n2_v{model.n_vertices}_s{image_size}_t{steps}.npz")
     if weights is None and cache.exists():
         log.info(f"loading cached matting weights: {cache}")
         data = np.load(cache)
