@@ -61,6 +61,58 @@ def ssim_global_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return num / den
 
 
+def changed_region_mask_batch(
+    modified: np.ndarray, baseline: np.ndarray,
+    threshold: float = 8.0, dilate: int = 4,
+) -> np.ndarray:
+    """(N, H, W) bool masks of surgically CHANGED pixels.
+
+    A modified prediction differs from the zero-offset baseline render
+    exactly where the surgical plan moved anatomy; comparing those pixels
+    to the unmodified ground truth is meaningless (they are SUPPOSED to
+    differ).  The mask is a luma |modified - baseline| > threshold test,
+    box-dilated so soft edges of the moved region are excluded too.
+    """
+    a = modified.astype(np.float64)
+    b = baseline.astype(np.float64)
+    if a.ndim == 4:
+        a = a @ _LUMA
+    if b.ndim == 4:
+        b = b @ _LUMA
+    mask = np.abs(a - b) > threshold
+    for _ in range(dilate):  # 3x3 box dilation via shifted ORs
+        m = mask.copy()
+        m[:, 1:] |= mask[:, :-1]
+        m[:, :-1] |= mask[:, 1:]
+        m[:, :, 1:] |= mask[:, :, :-1]
+        m[:, :, :-1] |= mask[:, :, 1:]
+        mask = m
+    return mask
+
+
+def psnr_excluding_batch(a: np.ndarray, b: np.ndarray,
+                         exclude: np.ndarray) -> np.ndarray:
+    """Batched PSNR over only the pixels NOT in ``exclude`` (N, H, W).
+
+    Frames that are entirely excluded score nan (no unchanged pixels).
+    """
+    keep = ~exclude
+    d = (a.astype(np.float64) - b.astype(np.float64))
+    if d.ndim == 4:
+        d = np.einsum("nhwc,nhwc->nhw", d, d)
+        n_ch = a.shape[-1]
+    else:
+        d = d * d
+        n_ch = 1
+    counts = keep.sum(axis=(1, 2)) * n_ch
+    sse = np.einsum("nhw,nhw->n", d, keep.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mse = sse / counts
+        db = 10.0 * np.log10(255.0**2 / mse)
+    return np.where(counts == 0, np.nan,
+                    np.where(mse == 0.0, PSNR_CAP_DB, db))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Scalar convenience wrapper over :func:`psnr_batch`."""
     return float(psnr_batch(a[None], b[None])[0])
@@ -121,18 +173,27 @@ def _read_manifest_rows(deterministic_frames_dir: Path) -> list[dict]:
 
 
 def score_frame_pairs(
-    renders_dir: Path, gt_dir: Path, rows: list[dict]
+    renders_dir: Path, gt_dir: Path, rows: list[dict],
+    baseline_renders_dir: Path | None = None,
 ) -> list[dict]:
     """Score every manifest row whose render+GT pair exists on disk.
 
     Pairs are grouped by image shape and scored with the batched metrics —
     one numpy reduction per shape group instead of per frame.
+
+    ``baseline_renders_dir`` (the ZERO-OFFSET render of the same frames)
+    enables the region-excluded metric for surgically modified
+    predictions: pixels the surgery moved (|modified - baseline| above a
+    luma threshold, dilated) are excluded and each row gains
+    ``psnr_unchanged`` — "did the prediction corrupt anything it was not
+    supposed to touch?".  Raw ``psnr`` against unmoved GT is inherently
+    capped for modified anatomy and stays labeled as-is.
     """
     # progress denominator spans ALL manifest rows, not just the pairs that
     # exist on disk — trailing missing renders must not shift the view-bucket
     # assignment (parity: validation_reporting.py:83)
     denom = max([1] + [int(r["index"]) for r in rows])
-    indices, names, renders, gts = [], [], [], []
+    indices, names, renders, gts, baselines = [], [], [], [], []
     for row in rows:
         name = row["source"]
         rp, gp = renders_dir / name, gt_dir / name
@@ -141,6 +202,9 @@ def score_frame_pairs(
             names.append(name)
             renders.append(read_image(rp))
             gts.append(read_image(gp))
+            if baseline_renders_dir is not None:
+                bp = Path(baseline_renders_dir) / name
+                baselines.append(read_image(bp) if bp.exists() else None)
     if not indices:
         return []
     progress = np.asarray(indices, np.float64) / denom
@@ -151,14 +215,25 @@ def score_frame_pairs(
     by_shape: dict[tuple, list[int]] = {}
     for i, img in enumerate(renders):
         by_shape.setdefault(img.shape, []).append(i)
+    unchanged_vals = np.full(len(indices), np.nan)
     for group in by_shape.values():
         a = np.stack([renders[i] for i in group]).astype(np.float64)
         b = np.stack([gts[i] for i in group]).astype(np.float64)
         psnr_vals[group] = psnr_batch(a, b)
         ssim_vals[group] = ssim_global_batch(a, b)
+        with_base = [i for i in group
+                     if baselines and baselines[i] is not None
+                     and baselines[i].shape == renders[i].shape]
+        if with_base:
+            am = np.stack([renders[i] for i in with_base])
+            bl = np.stack([baselines[i] for i in with_base])
+            gt = np.stack([gts[i] for i in with_base])
+            masks = changed_region_mask_batch(am, bl)
+            unchanged_vals[with_base] = psnr_excluding_batch(am, gt, masks)
 
-    return [
-        {
+    out = []
+    for i in range(len(indices)):
+        row = {
             "index": indices[i],
             "frame": names[i],
             "progress": float(progress[i]),
@@ -166,8 +241,10 @@ def score_frame_pairs(
             "psnr": float(psnr_vals[i]),
             "ssim": float(ssim_vals[i]),
         }
-        for i in range(len(indices))
-    ]
+        if not np.isnan(unchanged_vals[i]):
+            row["psnr_unchanged"] = float(unchanged_vals[i])
+        out.append(row)
+    return out
 
 
 def summarize(rows: list[dict]) -> dict:
@@ -175,16 +252,27 @@ def summarize(rows: list[dict]) -> dict:
     by_bucket = {}
     for name in BUCKETS:
         sel = [r for r in rows if r["bucket"] == name]
-        by_bucket[name] = {
+        entry = {
             "count": len(sel),
             "psnr": float(np.mean([r["psnr"] for r in sel])) if sel else None,
             "ssim": float(np.mean([r["ssim"] for r in sel])) if sel else None,
         }
+        unch = [r["psnr_unchanged"] for r in sel if "psnr_unchanged" in r]
+        if unch:
+            entry["psnr_unchanged"] = float(np.mean(unch))
+        by_bucket[name] = entry
     return {"count": len(rows), "by_bucket": by_bucket}
 
 
-def generate_report(model_path, deterministic_frames_dir, output_dir) -> dict:
-    """Score the deterministic frame subset vs GT; emit strict_scores.json."""
+def generate_report(model_path, deterministic_frames_dir, output_dir,
+                    baseline_renders_dir=None) -> dict:
+    """Score the deterministic frame subset vs GT; emit strict_scores.json.
+
+    Pass ``baseline_renders_dir`` (zero-offset renders of the same frames)
+    when scoring a surgically MODIFIED prediction — rows then also carry
+    ``psnr_unchanged`` (moved-anatomy pixels excluded; see
+    :func:`changed_region_mask_batch`).
+    """
     latest = find_latest_train_dir(Path(model_path))
     renders_dir, gt_dir = latest / "renders", latest / "gt"
     missing = [d for d in (renders_dir, gt_dir) if not d.exists()]
@@ -192,7 +280,9 @@ def generate_report(model_path, deterministic_frames_dir, output_dir) -> dict:
         raise FileNotFoundError(f"missing render outputs: {missing}")
 
     rows = score_frame_pairs(
-        renders_dir, gt_dir, _read_manifest_rows(Path(deterministic_frames_dir))
+        renders_dir, gt_dir,
+        _read_manifest_rows(Path(deterministic_frames_dir)),
+        baseline_renders_dir=baseline_renders_dir,
     )
     report = {"summary": summarize(rows), "rows": rows}
 

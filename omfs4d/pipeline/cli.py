@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None):
     p.add_argument("--model", required=True)
     p.add_argument("--frames", required=True)
     p.add_argument("--out", default="")
+    p.add_argument("--baseline-renders", default="",
+                   help="zero-offset renders of the same frames; adds the "
+                        "region-excluded psnr_unchanged metric")
 
     args = parser.parse_args(rest)
 
@@ -197,7 +200,9 @@ def main(argv: list[str] | None = None):
     elif args.cmd == "report":
         from omfs4d.eval.reporting import generate_report
         out = Path(args.out) if args.out else Path(args.model) / "eval_strict" / "reports"
-        generate_report(Path(args.model), Path(args.frames), out)
+        generate_report(Path(args.model), Path(args.frames), out,
+                        baseline_renders_dir=Path(args.baseline_renders)
+                        if args.baseline_renders else None)
     return 0
 
 

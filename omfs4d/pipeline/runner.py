@@ -354,10 +354,12 @@ class Pipeline:
 
     # ── stage 6: strict report ───────────────────────────────
     def report(self, model_dir: Path, deterministic_dir: Path,
-               output_dir: Path | None = None) -> dict:
+               output_dir: Path | None = None,
+               baseline_renders_dir: Path | None = None) -> dict:
         from omfs4d.eval.reporting import generate_report
 
         output_dir = output_dir or (Path(model_dir) / "eval_strict" / "reports")
         with stage_timer("report", self.events):
             return generate_report(Path(model_dir), Path(deterministic_dir),
-                                   Path(output_dir))
+                                   Path(output_dir),
+                                   baseline_renders_dir=baseline_renders_dir)

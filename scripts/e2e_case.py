@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/omfs4d_e2e")
     ap.add_argument("--out", default="E2E_TIMING.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gt-track", action="store_true",
+                    help="bypass the tracker and train directly on the GT "
+                         "synthetic FLAME params — isolates trainer fidelity "
+                         "from tracker quality (dB attribution)")
     args = ap.parse_args()
 
     import jax
@@ -86,15 +90,23 @@ def main():
     pipe = Pipeline(cfg, work / "wd")
 
     t_all = time.time()
-    with timed("preprocess"):
-        frames_dir = pipe.preprocess(video)
-    with timed("track"):
-        import cv2
-        sample = next((frames_dir / "images").glob("*.png"))
-        h, w = cv2.imread(str(sample)).shape[:2]
-        cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0),
-                             fx=1.6 * max(w, h), width=w, height=h)
-        data_dir = pipe.track(frames_dir, cam, landmark_method="auto")
+    if args.gt_track:
+        # ablation: the synthetic case dir IS a GT-parameter dataset in the
+        # training contract; training on it directly measures the trainer's
+        # fidelity ceiling with a perfect tracker
+        pipe.model = case["model"]
+        data_dir = Path(case["path"])
+        print("[e2e] --gt-track: skipping preprocess/track", flush=True)
+    else:
+        with timed("preprocess"):
+            frames_dir = pipe.preprocess(video)
+        with timed("track"):
+            import cv2
+            sample = next((frames_dir / "images").glob("*.png"))
+            h, w = cv2.imread(str(sample)).shape[:2]
+            cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0),
+                                 fx=1.6 * max(w, h), width=w, height=h)
+            data_dir = pipe.track(frames_dir, cam, landmark_method="auto")
     with timed(f"train_{args.iters}_iters"):
         model_dir = pipe.train(data_dir, iterations=args.iters)
 
@@ -109,7 +121,26 @@ def main():
     rows = rep.get("rows", [])
     selfrecon_psnr = (float(np.mean([r["psnr"] for r in rows]))
                       if rows else None)
-    print(f"[e2e] selfrecon_psnr={selfrecon_psnr}", flush=True)
+    per_frame = sorted(float(r["psnr"]) for r in rows)
+    psnr_stats = {
+        "min": per_frame[0], "max": per_frame[-1],
+        "std": float(np.std(per_frame)),
+    } if per_frame else None
+    print(f"[e2e] selfrecon_psnr={selfrecon_psnr} stats={psnr_stats}",
+          flush=True)
+
+    # keep the zero-offset renders: they are the baseline for the
+    # region-excluded metric on the modified prediction (the raw strict
+    # psnr scores surgically MOVED anatomy against unmoved GT and is
+    # inherently capped; psnr_unchanged asks "did the prediction corrupt
+    # anything the surgery did not touch?")
+    import shutil
+    from omfs4d.eval.reporting import find_latest_train_dir
+    baseline_renders = work / "baseline_renders"
+    if baseline_renders.exists():
+        shutil.rmtree(baseline_renders)
+    shutil.copytree(find_latest_train_dir(Path(model_dir)) / "renders",
+                    baseline_renders)
 
     # (b) surgical prediction (modified params) + strict report
     det_mod = work / "det_mod"
@@ -117,7 +148,8 @@ def main():
         pipe.render_surgery(model_dir, data_dir, work / "pred.mp4",
                             5.0, 3.0, export_frames_dir=str(det_mod))
     with timed("report"):
-        rep_mod = pipe.report(model_dir, det_mod, output_dir=work / "report")
+        rep_mod = pipe.report(model_dir, det_mod, output_dir=work / "report",
+                              baseline_renders_dir=baseline_renders)
     front = rep_mod.get("summary", {}).get("by_bucket", {}).get("front", {})
 
     out = {
@@ -128,7 +160,10 @@ def main():
         "train_iters": args.iters,
         "backend": backend,
         "selfrecon_psnr": selfrecon_psnr,
+        "selfrecon_psnr_stats": psnr_stats,
+        "gt_track": bool(args.gt_track),
         "front_psnr_modified": front.get("psnr"),
+        "front_psnr_unchanged": front.get("psnr_unchanged"),
     }
     Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -67,6 +67,47 @@ class TestReport:
         front = report["summary"]["by_bucket"]["front"]
         assert front["psnr"] == 99.0
 
+    def test_region_excluded_metric(self, tmp_path):
+        """Surgically moved pixels must not count against psnr_unchanged.
+
+        The raw strict psnr compares MOVED anatomy against unmoved GT and
+        is inherently capped (ref: the modified-vs-GT scoring convention,
+        validation_reporting.py:58-110); with a zero-offset baseline the
+        report also measures whether UNCHANGED pixels were corrupted.
+        """
+        model = tmp_path / "model"
+        latest = model / "train" / "ours_10"
+        (latest / "renders").mkdir(parents=True)
+        (latest / "gt").mkdir(parents=True)
+        base = tmp_path / "baseline"
+        base.mkdir()
+        det = tmp_path / "det"
+        det.mkdir()
+        rng = np.random.default_rng(1)
+        exports = []
+        for i in range(3):
+            gt = rng.uniform(0, 255, (16, 16, 3)).astype(np.uint8)
+            modified = gt.copy()
+            modified[8:, :]  = 255 - modified[8:, :]   # "surgery": bottom half
+            name = f"{i:05d}.png"
+            write_image(latest / "renders" / name, modified)
+            write_image(latest / "gt" / name, gt)
+            write_image(base / name, gt)               # zero-offset == GT here
+            exports.append({"index": i, "source": name,
+                            "exported": f"idx_{i:05d}.png"})
+        (det / "deterministic_indices_manifest.json").write_text(
+            json.dumps({"exports": exports}))
+
+        rep = generate_report(model, det, tmp_path / "rep",
+                              baseline_renders_dir=base)
+        rows = rep["rows"]
+        # raw psnr is destroyed by the moved half; unchanged-region psnr
+        # sees only identical pixels and hits the cap
+        assert all(r["psnr"] < 20 for r in rows)
+        assert all(r["psnr_unchanged"] == 99.0 for r in rows)
+        front = rep["summary"]["by_bucket"]["front"]
+        assert front["psnr_unchanged"] == 99.0
+
     def test_report_picks_latest_ours(self, tmp_path):
         model = tmp_path / "model"
         for it in (50, 200):
