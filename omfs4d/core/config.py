@@ -109,8 +109,16 @@ class TrainConfig:
     # budgets here each frame is only visited ~100x, so the rates are
     # scaled up to let co-optimization actually absorb 0.05-rad-scale
     # residual tracker error — measured on the 512^2 e2e case)
-    lr_flame_pose: float = 1e-4
-    lr_flame_expr: float = 3e-4
+    # peaks swept on the 512^2 e2e case (5k iters): 1e-4/3e-4 -> 25.0 dB,
+    # 3e-4/1e-3 -> 26.6 dB, 1e-3/3e-3 -> 26.4 dB selfrecon
+    lr_flame_pose: float = 3e-4
+    lr_flame_expr: float = 1e-3
+    # warmup-cosine schedule around those peaks: ramp over lr_flame_warmup
+    # steps (gaussians settle first), decay to peak*lr_flame_final_scale by
+    # `iterations` (late refinement must not churn the pose the gaussians
+    # were fit against).  warmup=0 disables the schedule (constant LR).
+    lr_flame_warmup: int = 300
+    lr_flame_final_scale: float = 0.03
     seed: int = 0
     sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
 

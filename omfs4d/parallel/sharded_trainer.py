@@ -33,6 +33,7 @@ from omfs4d.ops.camera import Camera
 from omfs4d.parallel.shard import avatar_loss_gaussian_sharded
 from omfs4d.train.trainer import (
     TrainState,
+    _flame_lr,
     densify_prune_arrays,
     float_fields,
     make_optimizer,
@@ -89,8 +90,8 @@ class ShardedAvatarTrainer:
                             and flame_model is not None)
         self.flame_opt = optax.multi_transform(
             {
-                "pose": optax.adam(cfg.lr_flame_pose),
-                "expr": optax.adam(cfg.lr_flame_expr),
+                "pose": optax.adam(_flame_lr(cfg, cfg.lr_flame_pose)),
+                "expr": optax.adam(_flame_lr(cfg, cfg.lr_flame_expr)),
                 "frozen": optax.set_to_zero(),
             },
             lambda tree: {k: ("expr" if k == "expr" else

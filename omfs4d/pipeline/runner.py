@@ -29,6 +29,30 @@ from omfs4d.train.trainer import AvatarTrainer
 log = get_logger("pipeline")
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Default the XLA persistent compile cache on for pipeline runs.
+
+    The tracker/trainer step compiles are tens of seconds to minutes at
+    512^2 — across cases on the same machine they are identical, so a
+    disk cache turns every run after the first into a warm start.  A
+    user-set jax_compilation_cache_dir (flag or JAX_COMPILATION_CACHE_DIR
+    env) is respected."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or str(
+        Path.home() / ".cache" / "omfs4d" / "jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — cache is an optimization only
+        log.warning(f"could not enable the persistent compile cache at "
+                    f"{cache}")
+
+
 class Pipeline:
     def __init__(self, cfg: Config, workdir: str | Path,
                  flame_asset: str | None = None):
@@ -37,6 +61,7 @@ class Pipeline:
         self.workdir.mkdir(parents=True, exist_ok=True)
         self.store = ArtifactStore(self.workdir / "stages")
         self.events = EventLogger(self.workdir / "events.jsonl")
+        _enable_persistent_compile_cache()
         if flame_asset:
             asset = load_flame_asset(flame_asset)
         else:

@@ -254,8 +254,18 @@ class FlameTracker:
                 reg = reg + s * w * jnp.mean(jnp.diff(p[k], axis=0) ** 2)
         return reg
 
-    # ── optimizer with stage-dependent trainable subsets ─────
-    def _make_opt(self, trainable: tuple[str, ...]):
+    # ── per-group optimizer; stage subsets via gradient masks ────
+    def _make_opt(self):
+        """One optimizer instance for EVERY stage.
+
+        Per-group Adam learning rates mirror the reference's
+        (flame_fitter.py:356-362).  Stage-dependent trainable subsets are
+        applied by zeroing gradients with a mask ARGUMENT of the jitted
+        step rather than by baking an optax label tree per stage — zero
+        grads keep Adam moments at exactly zero, so the semantics match
+        set_to_zero, and all stages share ONE compiled step (measured:
+        per-stage recompiles cost ~90-130 s each at 512^2, more than the
+        stages' actual compute)."""
         cfg = self.cfg
         lr = cfg.lr
         group_lr = {
@@ -264,10 +274,9 @@ class FlameTracker:
             "translation": lr * 0.5, "texture": lr * 10.0,
             "static_offset": lr * 0.1, "focal_log_scale": lr * 0.5,
         }
-        txs = {k: optax.adam(v) for k, v in group_lr.items()}
-        txs["frozen"] = optax.set_to_zero()
-        labels = {k: (k if k in trainable else "frozen") for k in group_lr}
-        return optax.multi_transform(txs, labels)
+        return optax.multi_transform(
+            {k: optax.adam(v) for k, v in group_lr.items()},
+            {k: k for k in group_lr})
 
     # ── one stage = n jitted steps ───────────────────────────
     def _run_stage(
@@ -282,12 +291,20 @@ class FlameTracker:
         events: EventLogger,
         rgb_batch: int = 4,
     ) -> dict:
-        opt = self._make_opt(trainable)
+        if not hasattr(self, "_opt"):
+            self._opt = self._make_opt()
+        opt = self._opt
         opt_state = opt.init(params)
         T = params["expr"].shape[0]
         rng = np.random.default_rng(0)
+        use_rgb = rgb_w > 0
 
-        cache_key = (name, trainable, lmk_w > 0, rgb_w > 0, T)
+        # ONE compiled step per (rgb on/off, T): stage weights, the
+        # trainable-subset mask, and the data tensors are all jit
+        # ARGUMENTS.  Baking them (the old per-stage cache_key) cost a
+        # ~90-130 s recompile per stage at 512^2 AND froze the first
+        # fit()'s frames into later fits on the same tracker.
+        cache_key = ("stage_rgb" if use_rgb else "stage_lmk", T)
         if cache_key not in self._step_cache:
             def shard_T(tree):
                 """P(data) on every (T, ...) leaf -> XLA partitions the
@@ -297,41 +314,58 @@ class FlameTracker:
                 from jax.sharding import NamedSharding, PartitionSpec as Ps
                 s = NamedSharding(self.mesh, Ps(self.data_axis))
                 def c(k, v):
-                    if k in FRAME_KEYS or k in ("landmarks", "valid",
-                                                "frames"):
+                    if k in FRAME_KEYS:
                         return jax.lax.with_sharding_constraint(v, s)
                     return v
                 return {k: c(k, v) for k, v in tree.items()}
 
-            def step(params, opt_state, frame_idx):
+            def shard_data(x):
+                if self.mesh is None:
+                    return x
+                from jax.sharding import NamedSharding, PartitionSpec as Ps
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, Ps(self.data_axis)))
+
+            def step(params, opt_state, frame_idx, mask, w_lmk, w_rgb,
+                     landmarks, valid, frames):
                 params = shard_T(params)
+                landmarks, valid = shard_data(landmarks), shard_data(valid)
+                if use_rgb:
+                    frames = shard_data(frames)
 
                 def loss_fn(p):
                     p = shard_T(p)
                     loss = self._regularizers(p)
-                    if lmk_w > 0:
-                        loss = loss + lmk_w * self._landmark_loss(
-                            p, data["landmarks"], data["valid"]
-                        )
-                    if rgb_w > 0:
-                        loss = loss + rgb_w * self._photometric_loss(
-                            p, data["frames"], frame_idx
-                        )
+                    loss = loss + w_lmk * self._landmark_loss(
+                        p, landmarks, valid)
+                    if use_rgb:
+                        loss = loss + w_rgb * self._photometric_loss(
+                            p, frames, frame_idx)
                     return loss
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
+                grads = jax.tree_util.tree_map(
+                    lambda g, m: g * m, grads, mask)
                 updates, opt_state2 = opt.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state2, loss
 
             self._step_cache[cache_key] = jax.jit(step, donate_argnums=(0, 1))
         step_fn = self._step_cache[cache_key]
 
+        mask = {k: jnp.float32(1.0 if k in trainable else 0.0)
+                for k in params}
+        w_lmk = jnp.float32(lmk_w)
+        w_rgb = jnp.float32(rgb_w)
+        frames_arg = (data["frames"] if use_rgb
+                      else jnp.zeros((T, 1, 1, 3), jnp.uint8))
         loss = jnp.float32(0)
         for i in range(steps):
             frame_idx = jnp.asarray(
                 rng.integers(0, T, size=(min(rgb_batch, T),)), jnp.int32
             )
-            params, opt_state, loss = step_fn(params, opt_state, frame_idx)
+            params, opt_state, loss = step_fn(
+                params, opt_state, frame_idx, mask, w_lmk, w_rgb,
+                data["landmarks"], data["valid"], frames_arg)
         events.emit("track_stage", stage=name, steps=steps, loss=float(loss))
         log.info(f"stage {name}: {steps} steps, loss {float(loss):.5f}")
         return params

@@ -76,6 +76,24 @@ def _param_labels() -> dict:
     }
 
 
+def _flame_lr(cfg: TrainConfig, peak: float):
+    """FLAME co-optimization LR schedule: warmup-cosine around `peak`.
+
+    Warmup lets the gaussians settle before the pose starts moving; the
+    cosine decay to peak*lr_flame_final_scale stops late-training pose
+    churn under the gaussians that were fit against it.  lr_flame_warmup=0
+    keeps the legacy constant LR."""
+    warmup = int(getattr(cfg, "lr_flame_warmup", 0))
+    if warmup <= 0:
+        return peak
+    return optax.warmup_cosine_decay_schedule(
+        init_value=peak * 0.1, peak_value=peak,
+        warmup_steps=min(warmup, max(cfg.iterations // 10, 1)),
+        decay_steps=max(cfg.iterations, warmup + 1),
+        end_value=peak * float(getattr(cfg, "lr_flame_final_scale", 1.0)),
+    )
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.multi_transform(
         {
@@ -234,8 +252,8 @@ class AvatarTrainer:
         self.co_optimize = bool(getattr(cfg, "optimize_flame", False)) and flame_model is not None
         self.flame_opt = optax.multi_transform(
             {
-                "pose": optax.adam(cfg.lr_flame_pose),
-                "expr": optax.adam(cfg.lr_flame_expr),
+                "pose": optax.adam(_flame_lr(cfg, cfg.lr_flame_pose)),
+                "expr": optax.adam(_flame_lr(cfg, cfg.lr_flame_expr)),
                 "frozen": optax.set_to_zero(),
             },
             lambda tree: {k: ("expr" if k == "expr" else

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--densify-interval", type=int, default=0,
                     help="override train.densify_interval (0 = config default)")
     ap.add_argument("--max-gaussians", type=int, default=0)
+    ap.add_argument("--set", action="append", default=[],
+                    help="dotted config override, e.g. "
+                         "--set train.lr_flame_pose=3e-4 (repeatable)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +79,10 @@ def main():
         cfg.train.densify_interval = args.densify_interval
     if args.max_gaussians:
         cfg.train.max_gaussians = args.max_gaussians
+    from omfs4d.core.config import apply_override
+    for ov in args.set:
+        k, v = ov.split("=", 1)
+        apply_override(cfg, k, v)
     pipe = Pipeline(cfg, work / "wd")
 
     t0 = time.time()
@@ -102,7 +109,7 @@ def main():
     psnrs = [r["psnr"] for r in rows]
     out = {
         "leg": args.leg, "size": S, "frames": args.frames,
-        "iters": args.iters,
+        "iters": args.iters, "overrides": args.set,
         "densify_interval": cfg.train.densify_interval,
         "selfrecon_psnr": float(np.mean(psnrs)) if psnrs else None,
         "psnr_min": float(np.min(psnrs)) if psnrs else None,
