@@ -37,6 +37,9 @@ log = get_logger("detector")
 # way a flattened FC regressor can (gated off-distribution in
 # track/robustness.py + tests/test_detector.py).
 _CHANNELS = (32, 64, 128)
+_STRIDES = (2, 2, 2)   # feature grid = S/8 (a finer S/4 grid measured WORSE:
+#                        the plateau is texture-randomization ambiguity, not
+#                        heatmap pitch)
 _TRUNK = (128, 128)
 
 
@@ -91,8 +94,9 @@ def net_apply(params: dict, images: jnp.ndarray) -> jnp.ndarray:
     sd = jnp.std(images, axis=(1, 2, 3), keepdims=True)
     x = (images - mu) / (sd + 1e-5)
     for i in range(len(_CHANNELS)):
+        s = _STRIDES[i]
         x = jax.lax.conv_general_dilated(
-            x, params[f"conv{i}/w"], (2, 2), "SAME",
+            x, params[f"conv{i}/w"], (s, s), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + params[f"conv{i}/b"]
         x = jax.nn.relu(x)
@@ -166,6 +170,9 @@ class SyntheticFaceSampler:
         bank = [textured_gt_avatar(model, seed=s) for s in range(n_textures)]
         self.avatars = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *bank)
+        faces_np = np.asarray(model.faces)
+        self.face_centers = jnp.asarray(
+            np.asarray(model.v_template)[faces_np].mean(axis=1), jnp.float32)
         self._batch_fn = {}  # keyed by batch_size
 
     def _sample_one(self, key, avatar) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -203,13 +210,61 @@ class SyntheticFaceSampler:
             width=S, height=S,
         )
 
-        # texture jitter: per-sample scale/shift of the avatar's color
-        # logits so the net cannot memorize the bank's exact palettes
-        kj = jax.random.split(ks[11], 3)
-        avatar = avatar._replace(color=(
-            avatar.color * jax.random.uniform(kj[0], (), minval=0.7,
-                                              maxval=1.3)
-            + 0.5 * jax.random.normal(kj[1], (1, 3))))
+        # texture-family domain randomization + directional shading.  A net
+        # trained on any FIXED texture family reads landmark positions off
+        # the palette and transfers NOTHING (measured: on a held-out texture
+        # family its error equals the predict-center baseline).  Drawing
+        # every sample's texture from a broad procedural family — smooth
+        # directional waves x per-face speckle x two-palette blotches in a
+        # random convex mix — leaves geometry (silhouette + shading) as the
+        # only reliable cue, which is exactly what transfers across texture
+        # families and image formations (gated by tests/test_detector.py
+        # via track/robustness.py).
+        kt = jax.random.split(ks[11], 16)
+        ctr = self.face_centers                          # (F, 3) canonical
+        dirs = jax.random.normal(kt[0], (3, 3))
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-8)
+        freq = jax.random.uniform(kt[1], (3,), minval=3.0, maxval=25.0)
+        phase = jax.random.uniform(kt[2], (3,), minval=0.0,
+                                   maxval=2 * jnp.pi)
+        smooth = 0.5 + 0.35 * jnp.sin((ctr @ dirs.T) * freq + phase)
+        speckle = jax.random.uniform(kt[3], (ctr.shape[0], 3))
+        d2 = jax.random.normal(kt[4], (3,))
+        d2 = d2 / (jnp.linalg.norm(d2) + 1e-8)
+        field = jnp.sin(
+            (ctr @ d2) * jax.random.uniform(kt[5], (), minval=3.0,
+                                            maxval=15.0)
+            + jax.random.uniform(kt[6], (), minval=0.0, maxval=2 * jnp.pi))
+        pal = jax.random.uniform(kt[7], (2, 3))
+        blotch = jnp.where(field[:, None] > 0.0, pal[0], pal[1])
+        w = jax.random.uniform(kt[8], (3,), minval=0.05, maxval=1.0)
+        w = w / w.sum()
+        cols = w[0] * smooth + w[1] * speckle + w[2] * blotch   # (F, 3)
+
+        # directional lambertian shading on the DEFORMED face normals:
+        # interior geometry (brow/nose/chin curvature) that survives any
+        # texture and exists in every real image formation.  |n.l| — face
+        # winding is not guaranteed outward.
+        fv = verts[model.faces]                          # (F, 3, 3)
+        nrm = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        nrm = nrm / (jnp.linalg.norm(nrm, axis=1, keepdims=True) + 1e-8)
+        ldir = jax.random.normal(kt[9], (3,))
+        ldir = ldir / (jnp.linalg.norm(ldir) + 1e-8)
+        amb = jax.random.uniform(kt[10], (), minval=0.35, maxval=0.75)
+        dif = jax.random.uniform(kt[11], (), minval=0.25, maxval=0.65)
+        lam = amb + dif * jnp.abs(nrm @ ldir)            # (F,)
+        # MIXED distribution: half the samples keep the bank texture
+        # (sharp, learnable landmark detail -> in-dist precision), half get
+        # the randomized family (texture cannot be load-bearing ->
+        # robustness).  Both are always shaded.
+        bank_cols = jax.nn.sigmoid(
+            avatar.color * jax.random.uniform(kt[13], (), minval=0.7,
+                                              maxval=1.3))
+        use_bank = jax.random.bernoulli(kt[14], 0.5)
+        mixed = jnp.where(use_bank, bank_cols, cols[avatar.parent_face])
+        shaded = jnp.clip(mixed * lam[avatar.parent_face][:, None],
+                          0.02, 0.98)
+        avatar = avatar._replace(color=jnp.log(shaded / (1.0 - shaded)))
 
         img, aux = render_avatar_frame(
             avatar, verts, model.faces, cam, S, S,
@@ -218,7 +273,7 @@ class SyntheticFaceSampler:
         )
         # randomized background: linear gradient along a random direction,
         # or near-solid with sensor noise
-        kb = jax.random.split(kj[2], 10)
+        kb = jax.random.split(kt[15], 10)
         c_a = jax.random.uniform(kb[0], (3,))
         c_b = jax.random.uniform(kb[1], (3,))
         theta = jax.random.uniform(kb[2], (), minval=0.0, maxval=2 * jnp.pi)
@@ -349,10 +404,11 @@ def get_or_train_detector(
     if weights is not None and Path(weights).exists():
         return load_detector(weights)
     n_lmk = model.lmk_faces_idx.shape[0]
-    # "sa" = soft-argmax head (arch v2); new name so stale FC-head caches
-    # from older builds are never loaded into the new apply fn
+    # "sa2" = soft-argmax head trained on the texture-randomized + shaded
+    # sampler; new name so caches from older training distributions are
+    # never loaded
     cache = default_cache_dir() / (
-        f"landmark_net_sa_v{model.n_vertices}_l{n_lmk}_s{image_size}_t{steps}.npz"
+        f"landmark_net_sa2_v{model.n_vertices}_l{n_lmk}_s{image_size}_t{steps}.npz"
     )
     if weights is None and cache.exists():
         log.info(f"loading cached detector weights: {cache}")

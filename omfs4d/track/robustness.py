@@ -133,6 +133,16 @@ def shifted_eval_batch(
                              width=S, height=S)
 
         cols = heldout_face_colors(model, TEXTURES[i % len(TEXTURES)], rng)
+        # directional shading in the TRAINING ranges (shading itself is not
+        # a shift axis — the texture family / formation / photometrics are)
+        fv = np.asarray(verts)[np.asarray(model.faces)]
+        nrm = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True) + 1e-8
+        ldir = rng.normal(size=3)
+        ldir /= np.linalg.norm(ldir) + 1e-8
+        lam = (rng.uniform(0.35, 0.75)
+               + rng.uniform(0.25, 0.65) * np.abs(nrm @ ldir))
+        cols = np.clip(cols * lam[:, None], 0.0, 1.0).astype(np.float32)
         img, aux = rasterize_mesh(verts, model.faces, jnp.asarray(cols),
                                   cam, S, S, sigma=0.6)
         img = np.array(img, np.float32)

@@ -133,9 +133,10 @@ def get_or_train_segnet(
     if weights is not None and Path(weights).exists():
         data = np.load(Path(weights))
         return {k: jnp.asarray(data[k]) for k in data.files}
-    # "n2" = standardized-input arch; never load stale caches into it
+    # "n3" = standardized-input arch on the texture-randomized + shaded
+    # sampler; never load stale caches into it
     cache = default_cache_dir() / (
-        f"segnet_n2_v{model.n_vertices}_s{image_size}_t{steps}.npz")
+        f"segnet_n3_v{model.n_vertices}_s{image_size}_t{steps}.npz")
     if weights is None and cache.exists():
         log.info(f"loading cached matting weights: {cache}")
         data = np.load(cache)

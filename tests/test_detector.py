@@ -61,8 +61,10 @@ class TestTraining:
                           model.lmk_faces_idx.shape[0], SIZE)
         e_untrained = _heldout_px_error(model, p0)
         e_trained = _heldout_px_error(model, trained)
-        assert e_trained < 0.6 * e_untrained
-        assert e_trained < 6.0, f"held-out error {e_trained:.2f}px too high"
+        assert e_trained < 0.7 * e_untrained
+        # calibrated @160 steps on the mixed (bank + randomized-texture)
+        # sampler: 7.0px — the robustness tax vs the old fixed-texture 4px
+        assert e_trained < 8.5, f"held-out error {e_trained:.2f}px too high"
 
     def test_save_load_roundtrip(self, model, trained, tmp_path):
         det.save_detector(tmp_path / "net.npz", trained)
@@ -114,6 +116,51 @@ class TestRegistry:
         with pytest.raises(RuntimeError, match="mediapipe"):
             detect_landmarks(np.zeros((1, 8, 8, 3), np.uint8),
                              method="mediapipe")
+
+
+class TestRobustness:
+    """Cross-distribution gates (VERDICT r2 weak #3): the detector must not
+    merely memorize its synthetic training distribution.
+
+    `track.robustness.shifted_eval_batch` shifts THREE axes at once, none
+    seen in training: held-out texture families (plane-wave stripes /
+    speckle / two-tone vs the training bank + smooth procedural mixes), a
+    different image formation (soft MESH rasterizer vs the gaussian
+    splatter), photometrics strictly outside the training ranges plus
+    checkerboard backgrounds and large occluders.  The untrained net is
+    the predict-center baseline — a memorizing detector collapses to it
+    off-distribution (measured on the pre-rework FC head: 11.1px trained
+    vs 13.0px untrained; the reworked net: 9.1px vs 13.6px @160 steps).
+    """
+
+    def test_distribution_shift(self, model, trained):
+        from omfs4d.track import robustness as rob
+
+        ims, lbls, _ = rob.shifted_eval_batch(model, n=24, image_size=SIZE,
+                                              seed=0)
+        p0 = det.init_net(jax.random.PRNGKey(0),
+                          model.lmk_faces_idx.shape[0], SIZE)
+        e_tr = rob.detector_px_error(trained, ims, lbls)
+        e_un = rob.detector_px_error(p0, ims, lbls)
+        # calibrated @160 steps: trained 9.1px, untrained 13.6px; improves
+        # with steps (8.8px @1280).  Budgets leave seed/backend margin.
+        assert e_tr < 11.5, f"shifted-eval error {e_tr:.2f}px"
+        assert e_tr < 0.85 * e_un, (e_tr, e_un)
+
+    def test_shift_axes_cover_training_gaps(self, model):
+        """The eval batch itself must be out-of-range: photometrics beyond
+        the training gain/bias intervals and occluders bigger than the
+        training cutout."""
+        from omfs4d.track import robustness as rob
+
+        ims, lbls, alphas = rob.shifted_eval_batch(
+            model, n=8, image_size=SIZE, seed=1)
+        assert ims.shape == (8, SIZE, SIZE, 3)
+        assert lbls.shape[1] == model.lmk_faces_idx.shape[0]
+        # occluders zero the alpha label somewhere in every batch
+        assert float(alphas.min()) == 0.0
+        # images stay valid
+        assert 0.0 <= float(ims.min()) and float(ims.max()) <= 1.0
 
 
 class TestDetectorToTracker:
@@ -170,6 +217,6 @@ class TestDetectorToTracker:
         ])
         det_err = np.linalg.norm(lmk - gt_uv, axis=-1).mean()
         err = np.linalg.norm(fit_uv - gt_uv, axis=-1).mean()
-        assert err < 4.0, f"tracked landmarks {err:.2f}px from GT"
+        assert err < 6.0, f"tracked landmarks {err:.2f}px from GT"
         # the FLAME prior should denoise: fit at least as good as raw detection
         assert err < det_err + 0.5, (err, det_err)
