@@ -217,7 +217,7 @@ def main():
     lmk = jnp.full((Tt, model.lmk_faces_idx.shape[0], 2), W / 2.0, jnp.float32)
     valid = jnp.ones((Tt,), bool)
     import optax
-    opt = tracker._make_opt(("rotation", "translation", "expr", "jaw_pose"))
+    opt = tracker._make_opt()
     opt_state = opt.init(p)
 
     def fit_step(p, opt_state):

@@ -96,6 +96,61 @@ def _alpha_matrix(packed, tile: int, grid_w: int, K: int, tid):
 
 K_SMALL = 128   # smallest occupancy level: K^2 matmul work drops 16x
 
+_BLOCK = 128    # prefix/suffix matmul block (one lane tile)
+
+
+def _strict_upper(b: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return (row < col).astype(jnp.float32)
+
+
+def _excl_prefix(lg: jnp.ndarray, k: int) -> jnp.ndarray:
+    """s_excl[p, j] = sum_{i<j} lg[p, i] as blocked triangular matmuls.
+
+    A single (k, k) triangular matmul is O(P k^2) MXU FLOPs — at K=512 it
+    dominates the composite (the full-occupancy silhouette tiles).  Blocking
+    at B=128 with a running (P, 1) carry is O(P k B): 4x fewer FLOPs at
+    K=512, exact same f32 math modulo sum reassociation."""
+    if k <= _BLOCK or k % _BLOCK:
+        return jnp.dot(lg, _strict_upper(k),
+                       preferred_element_type=jnp.float32)
+    P = lg.shape[0]
+    nb = k // _BLOCK
+    u = _strict_upper(_BLOCK)
+    base = jnp.zeros((P, 1), jnp.float32)
+    outs = []
+    for b in range(nb):
+        blk = lg[:, b * _BLOCK:(b + 1) * _BLOCK]
+        outs.append(
+            jnp.dot(blk, u, preferred_element_type=jnp.float32) + base)
+        if b + 1 < nb:
+            base = base + jnp.sum(blk, axis=1, keepdims=True)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _suffix_sum(m: jnp.ndarray, k: int) -> jnp.ndarray:
+    """suffix[p, j] = sum_{i>j} m[p, i] — blocked, scanned from the right."""
+    def tri(blk, b):
+        return jax.lax.dot_general(
+            blk, _strict_upper(b),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if k <= _BLOCK or k % _BLOCK:
+        return tri(m, k)
+    P = m.shape[0]
+    nb = k // _BLOCK
+    tail = jnp.zeros((P, 1), jnp.float32)
+    outs: list = [None] * nb
+    for b in reversed(range(nb)):
+        blk = m[:, b * _BLOCK:(b + 1) * _BLOCK]
+        outs[b] = tri(blk, _BLOCK) + tail
+        if b > 0:
+            tail = tail + jnp.sum(blk, axis=1, keepdims=True)
+    return jnp.concatenate(outs, axis=1)
+
 
 def _k_levels(K: int) -> list[int]:
     """Occupancy fast-path levels below K.  Per-tile lists are
@@ -113,12 +168,9 @@ def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
     a, _, _, _, _ = _alpha_matrix(packed, tile, grid_w, k, tid)
     lg = jnp.log1p(-a)                                # (P, k)
 
-    # exclusive prefix sum over k via one triangular matmul: the MXU is
+    # exclusive prefix sum over k via blocked triangular matmuls: the MXU is
     # otherwise idle here and measures faster than a log-step lane cumsum
-    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    u_strict = (row < col).astype(jnp.float32)
-    s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+    s_excl = _excl_prefix(lg, k)
 
     w = a * jnp.exp(s_excl)                           # (P, k)
     colors = packed[ROW_R : ROW_B + 1, :]             # (3, k)
@@ -175,10 +227,7 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
         one_minus = jnp.maximum(1.0 - a, 1e-6)
         lg = jnp.log(one_minus)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-        u_strict = (row < col).astype(jnp.float32)
-        s_excl = jnp.dot(lg, u_strict, preferred_element_type=jnp.float32)
+        s_excl = _excl_prefix(lg, k)
         t_excl = jnp.exp(s_excl)
         w = a * t_excl                                    # (P, K)
 
@@ -196,13 +245,8 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
             preferred_element_type=jnp.float32,
         )                                                  # (P, K)
 
-        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]  —  m @ u_strict^T
-        m = dw * w
-        suffix = jax.lax.dot_general(
-            m, u_strict,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]
+        suffix = _suffix_sum(dw * w, k)
 
         s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
         t_total = jnp.exp(s_total)

@@ -359,6 +359,8 @@ class FlameTracker:
         frames_arg = (data["frames"] if use_rgb
                       else jnp.zeros((T, 1, 1, 3), jnp.uint8))
         loss = jnp.float32(0)
+        import time as _time
+        t0 = _time.time()
         for i in range(steps):
             frame_idx = jnp.asarray(
                 rng.integers(0, T, size=(min(rgb_batch, T),)), jnp.int32
@@ -366,8 +368,12 @@ class FlameTracker:
             params, opt_state, loss = step_fn(
                 params, opt_state, frame_idx, mask, w_lmk, w_rgb,
                 data["landmarks"], data["valid"], frames_arg)
-        events.emit("track_stage", stage=name, steps=steps, loss=float(loss))
-        log.info(f"stage {name}: {steps} steps, loss {float(loss):.5f}")
+        loss_f = float(loss)   # blocks: wall time covers the device work
+        dt = _time.time() - t0
+        events.emit("track_stage", stage=name, steps=steps, loss=loss_f,
+                    seconds=round(dt, 2))
+        log.info(f"stage {name}: {steps} steps, loss {loss_f:.5f} "
+                 f"({dt:.1f}s)")
         return params
 
     # ── sequential per-frame tracking (VHAP's rgb_sequential stage) ──
@@ -455,15 +461,19 @@ class FlameTracker:
 
         frames_in = (data["frames"] if use_rgb
                      else jnp.zeros((T, 1, 1, 3), jnp.uint8))
+        import time as _time
+        t0 = _time.time()
         new_rows = self._step_cache[cache_key](
             frozen, rows, data["landmarks"], data["valid"], frames_in)
         out = {**frozen, **new_rows}
         final = float(self._landmark_loss(out, data["landmarks"],
                                           data["valid"]))
+        dt = _time.time() - t0
         events.emit("track_stage", stage="rgb_sequential_tracking",
-                    steps=steps_per_frame * T, loss=final)
+                    steps=steps_per_frame * T, loss=final,
+                    seconds=round(dt, 2))
         log.info(f"stage rgb_sequential_tracking: {steps_per_frame}/frame "
-                 f"x {T} frames, lmk loss {final:.5f}")
+                 f"x {T} frames, lmk loss {final:.5f} ({dt:.1f}s)")
         return out
 
     # ── full schedule ────────────────────────────────────────

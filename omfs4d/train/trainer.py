@@ -452,10 +452,90 @@ class AvatarTrainer:
         )
 
     MAX_TILE_WINDOW = 64
-    WINDOW_CHECK_EVERY = 10
+    WINDOW_CHECK_EVERY = 50
     WINDOW_CHECK_UNTIL = 500
     _window_capped = False
     _frac_capped = False
+
+    def preflight_tile_window(self, state: TrainState, data: dict,
+                              n_probe: int = 4) -> None:
+        """Size the binning windows from the INITIAL cloud, before the first
+        step compile.
+
+        Escalating mid-run costs a full step recompile (measured 30-110 s at
+        512^2) plus up to WINDOW_CHECK_EVERY iterations of clipped gradients;
+        the init cloud is also when gaussians are largest (pre-split), so
+        probing it up front removes the dominant escalation. Projects the
+        initial gaussians for `n_probe` frames, measures each one's tile-span
+        side (the exact `fits` criterion bin_gaussians clips on), and picks:
+
+          * max_tiles_per_gaussian = side^2 at the 99.8th percentile of
+            visible spans (clipped to [16, MAX_TILE_WINDOW]) — rare outliers
+            stay clipped rather than inflating every large-class gaussian's
+            pair count, and the runtime escalation path remains as fallback;
+          * large_frac so the large-class budget covers 2x the gaussians
+            that outgrow the small window.
+        """
+        T = data["verts"].shape[0]
+        tile = self.render_cfg["tile"]
+        grid_w = (self.width + tile - 1) // tile
+        grid_h = (self.height + tile - 1) // tile
+        small_side = max(int(round(
+            self.render_cfg["small_tiles_per_gaussian"] ** 0.5)), 1)
+
+        def spans_one(g, verts, w2c, fx, fy, cx, cy):
+            cam = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy,
+                         width=self.width, height=self.height)
+            means, rot, scales, opac, _ = bind_to_mesh(g, verts, self.faces)
+            proj = project_gaussians(cam, means, rot, scales)
+            uv, radius = proj["uv"], proj["radius"]
+            from omfs4d.render.rasterize import ALPHA_CUTOFF
+            visible = (
+                proj["in_front"] & (radius > 0) & (opac > ALPHA_CUTOFF)
+                & (uv[:, 0] + radius > 0) & (uv[:, 0] - radius < self.width)
+                & (uv[:, 1] + radius > 0) & (uv[:, 1] - radius < self.height)
+            )
+            x0 = jnp.clip(jnp.floor((uv[:, 0] - radius) / tile), 0, grid_w - 1)
+            x1 = jnp.clip(jnp.floor((uv[:, 0] + radius) / tile), 0, grid_w - 1)
+            y0 = jnp.clip(jnp.floor((uv[:, 1] - radius) / tile), 0, grid_h - 1)
+            y1 = jnp.clip(jnp.floor((uv[:, 1] + radius) / tile), 0, grid_h - 1)
+            side = jnp.maximum(x1 - x0, y1 - y0) + 1.0
+            return jnp.where(visible, side, 0.0)
+
+        probe_idx = np.unique(
+            np.linspace(0, T - 1, min(n_probe, T)).astype(int))
+        probe_fn = jax.jit(spans_one)
+        sides = []
+        for i in probe_idx:
+            sides.append(np.asarray(probe_fn(
+                state.gaussians, data["verts"][i], data["w2c"][i],
+                data["fx"][i], data["fy"][i], data["cx"][i], data["cy"][i])))
+        sides = np.concatenate(sides)
+        vis = sides[sides > 0]
+        if vis.size == 0:
+            return
+        side_needed = int(np.ceil(np.percentile(vis, 99.8)))
+        max_side = int(round(self.MAX_TILE_WINDOW ** 0.5))
+        cur_side = int(round(
+            self.render_cfg["max_tiles_per_gaussian"] ** 0.5))
+        side = int(np.clip(side_needed, cur_side, max_side))
+        n_large = int((vis > small_side).sum()) // len(probe_idx)
+        capacity = int(state.gaussians.capacity)
+        frac_needed = min(2.0 * n_large / max(capacity, 1), 1.0)
+        changed = False
+        if side * side > self.render_cfg["max_tiles_per_gaussian"]:
+            self.render_cfg["max_tiles_per_gaussian"] = side * side
+            changed = True
+        if frac_needed > self.render_cfg["large_frac"]:
+            self.render_cfg["large_frac"] = frac_needed
+            changed = True
+        if changed:
+            log.info(
+                f"preflight binning windows: max_tiles_per_gaussian="
+                f"{self.render_cfg['max_tiles_per_gaussian']} "
+                f"large_frac={self.render_cfg['large_frac']:.3f} "
+                f"(p99.8 span side {side_needed}, {n_large} large at init)")
+            self._recompile_step_fns()
 
     def _recompile_step_fns(self):
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
@@ -548,6 +628,10 @@ class AvatarTrainer:
         T = data["images"].shape[0]
         B = cfg.batch_frames
         data = {k: jnp.asarray(v) for k, v in data.items()}
+        if start_iteration == 0:
+            # size the binning windows before anything compiles (a mid-run
+            # escalation costs a full step recompile)
+            self.preflight_tile_window(state, data)
 
         save_iters = sorted({max(iterations // 4, 1), max(iterations // 2, 1),
                              iterations})
@@ -611,31 +695,61 @@ class AvatarTrainer:
                 state = self.reset_opacity(state)
 
             if output_dir is not None and it in save_iters:
-                self.save_checkpoint(state, output_dir, it)
+                self.save_checkpoint(state, output_dir, it,
+                                     block=(it == iterations))
 
+        self._join_checkpoint_threads()
         return state
 
     # ── checkpoints ──────────────────────────────────────────
-    def save_checkpoint(self, state: TrainState, output_dir: str | Path, iteration: int):
+    _ckpt_threads: list = None
+
+    def _join_checkpoint_threads(self):
+        for t in (self._ckpt_threads or []):
+            t.join()
+        self._ckpt_threads = []
+
+    def save_checkpoint(self, state: TrainState, output_dir: str | Path,
+                        iteration: int, block: bool = True):
+        """Write the orbax state + PLY snapshot for `iteration`.
+
+        `block=False` fetches the state to host synchronously (cheap) and
+        writes the files on a background thread — a mid-run orbax+PLY write
+        measured ~40 s at 200k capacity on the 512^2 case, all of it dead
+        time for the chip.  The final checkpoint must block (callers read
+        it immediately); `train()` joins any stragglers before returning."""
         import json
+        import threading
 
         from omfs4d.train.checkpoints import save_state, export_point_cloud
 
         out = Path(output_dir)
-        ckpt = save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
-        # runtime knobs that live outside the jax state but shape the step
-        # (a resumed trainer restores the escalated tile window instead of
-        # re-learning it from clip pressure)
-        (ckpt.parent / f"iter_{iteration:07d}_meta.json").write_text(
-            json.dumps({
-                "iteration": iteration,
-                "max_tiles_per_gaussian":
-                    self.render_cfg["max_tiles_per_gaussian"],
-                "large_frac": self.render_cfg["large_frac"],
-            }))
-        export_point_cloud(out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
-                           state.gaussians)
-        log.info(f"checkpoint saved at iteration {iteration}")
+        # D2H once, here, so the worker thread never touches device state
+        host_state = jax.tree_util.tree_map(np.asarray, state)
+        meta = {
+            "iteration": iteration,
+            "max_tiles_per_gaussian":
+                self.render_cfg["max_tiles_per_gaussian"],
+            "large_frac": self.render_cfg["large_frac"],
+        }
+
+        def write():
+            ckpt = save_state(
+                out / "checkpoints" / f"iter_{iteration:07d}", host_state)
+            (ckpt.parent / f"iter_{iteration:07d}_meta.json").write_text(
+                json.dumps(meta))
+            export_point_cloud(
+                out / "point_cloud" / f"iteration_{iteration}"
+                / "point_cloud.ply", host_state.gaussians)
+            log.info(f"checkpoint saved at iteration {iteration}")
+
+        if block:
+            self._join_checkpoint_threads()
+            write()
+        else:
+            t = threading.Thread(target=write, daemon=True)
+            t.start()
+            self._ckpt_threads = (self._ckpt_threads or []) + [t]
 
     def restore_checkpoint(self, output_dir: str | Path,
                            template: TrainState) -> tuple[TrainState, int]:
