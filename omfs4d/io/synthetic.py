@@ -111,6 +111,9 @@ def make_synthetic_dataset(
         img, aux = render_avatar_frame(
             gt, verts[i], model.faces, cam, width, height,
             backend=backend,
+            # one-shot GT generation: never spill-clip (see the large_frac
+            # note in predict/render_video.render_dataset_frames)
+            large_frac=1.0,
         )
         images[i] = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
         masks[i] = np.asarray(aux["alpha"]) > 0.5

@@ -47,13 +47,21 @@ def render_dataset_frames(
     max_tiles_per_gaussian: int = 16,
     white_background: bool = True,
     n_tile: int = 1,
-    large_frac: float = 0.125,
+    large_frac: float = 1.0,
 ) -> Path:
     """Render every frame of a dataset split with the given avatar.
 
     `max_tiles_per_gaussian` must cover the window the TRAINER ended on
     (adaptive escalation): rendering with a smaller window clips the large
     gaussians the training loss depended on.
+
+    `large_frac` defaults to 1.0 — UNLIKE training.  The trainer's 0.125
+    budget is a fraction of its (mostly dead) fixed CAPACITY and is guarded
+    by runtime spill escalation; a loaded point cloud is compact (all
+    alive), so a fractional budget here silently pushed up to ~80% of the
+    gaussians through the clipped 2x2 small window (measured −10 dB on the
+    512^2 e2e case).  Exports render each frame once, so the extra sort
+    pairs are cheap; never spill.
 
     `n_tile` > 1 rasterizes each frame spatially sharded over a `tile`
     device-mesh axis (parallel.shard.rasterize_tile_sharded): tiles are
@@ -203,10 +211,9 @@ def render_prediction(
     from omfs4d.train.checkpoints import trained_render_meta
     meta = trained_render_meta(model_dir, it)
     window = max(16, int(meta.get("max_tiles_per_gaussian", 0)) or 16)
-    large_frac = max(0.125, float(meta.get("large_frac", 0.125)))
-    if window > 16 or large_frac > 0.125:
+    if window > 16:
         log.info(f"render window: max_tiles_per_gaussian={window} "
-                 f"large_frac={large_frac} (from training meta)")
+                 f"(from training meta)")
 
     # clear stale renders (parity: render_surgery.py:260-267)
     train_dir = model_dir / "train"
@@ -229,7 +236,6 @@ def render_prediction(
             flame_model, gaussians, modified, renders_dir, out_gt=gt_dir,
             split="train", backend=backend, white_background=white_background,
             max_tiles_per_gaussian=window, n_tile=n_tile,
-            large_frac=large_frac,
         )
 
         if export_frames_dir:

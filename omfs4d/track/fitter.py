@@ -225,6 +225,11 @@ class FlameTracker:
                     self.p_width, self.p_height, background=bg,
                     tile=self.tile, max_per_tile=self.max_per_tile,
                     backend=self.backend,
+                    # every face splat that outgrows the small window gets
+                    # the full one: the tracker has no spill-escalation
+                    # loop, and a silently clipped render poisons the
+                    # photometric gradient (cf. the -10 dB export bug)
+                    large_frac=1.0,
                 )
                 return jnp.mean(jnp.abs(img - gt))
 

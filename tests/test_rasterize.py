@@ -231,3 +231,34 @@ def test_render_depth(cam):
     d_right = d_vals[x_vals >= 32].mean()
     assert abs(max(d_left, d_right) - 3.0) < 0.2     # far blob ≈ 2.5 + 0.5
     assert abs(min(d_left, d_right) - 2.0) < 0.2     # near blob ≈ 2.5 - 0.5
+
+
+class TestCompactCloudSpill:
+    """Regression for the −10 dB export bug: a COMPACT all-alive cloud
+    (loaded point_cloud.ply) with a fractional large-window budget spills
+    most mid-size gaussians into the clipped 2x2 window.  One-shot render
+    paths (predict/render_video, io/synthetic GT, tracker photometric)
+    must bin with large_frac=1.0 so spill is impossible."""
+
+    def test_fractional_budget_spills_compact_cloud(self, cam):
+        n = 600
+        means, rot, scales, opacity, colors = random_scene(n, seed=7)
+        scales[:] = 0.35          # every splat needs more than a 2x2 window
+        proj = project_gaussians(cam, jnp.asarray(means), jnp.asarray(rot),
+                                 jnp.asarray(scales))
+        op = jnp.asarray(opacity)
+        kw = dict(tile=16, max_per_tile=256, max_tiles_per_gaussian=16,
+                  two_class_min_n=1, large_min=8)
+        frac = bin_gaussians(proj, op, 64, 64, large_frac=0.125, **kw)
+        full = bin_gaussians(proj, op, 64, 64, large_frac=1.0, **kw)
+        assert int(frac.spilled) > 0          # the failure mode is real
+        assert int(full.spilled) == 0         # and large_frac=1.0 closes it
+
+    def test_export_render_path_never_spills(self):
+        """render_dataset_frames must default to the non-spilling budget."""
+        import inspect
+
+        from omfs4d.predict.render_video import render_dataset_frames
+
+        sig = inspect.signature(render_dataset_frames)
+        assert sig.parameters["large_frac"].default == 1.0
