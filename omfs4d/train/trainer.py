@@ -290,8 +290,20 @@ class AvatarTrainer:
                    points: np.ndarray | None = None,
                    canonical_verts: np.ndarray | None = None) -> TrainState:
         """`points` + `canonical_verts` switch to point-cloud init
-        (points3d.ply -> nearest-face binding + KNN scales)."""
-        capacity = capacity or self.cfg.max_gaussians
+        (points3d.ply -> nearest-face binding + KNN scales).
+
+        `capacity=None` auto-sizes: 6x the initial cloud, rounded up to
+        16384, capped by cfg.max_gaussians.  Every per-step cost that the
+        `alive` mask cannot elide (tile-pair expansion + sort, bind, Adam)
+        scales with CAPACITY, so preallocating cfg.max_gaussians (200k)
+        around a 10k-face init measured ~1.5x the step time of a fitted
+        capacity.  If densification outgrows the headroom the loop grows
+        capacity 2x (one step-fn recompile — rare by construction)."""
+        if capacity is None:
+            n_init = (len(points) if points is not None
+                      else int(self.faces.shape[0]))
+            capacity = min(self.cfg.max_gaussians,
+                           max(-(-6 * n_init // 16384) * 16384, 16384))
         if points is not None and canonical_verts is not None:
             from omfs4d.models.gaussians import init_gaussians_from_points
             g = init_gaussians_from_points(points, canonical_verts,
@@ -541,6 +553,45 @@ class AvatarTrainer:
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_frame)
 
+    @staticmethod
+    def resize_state_capacity(state: TrainState, new_capacity: int) -> TrainState:
+        """Pad (grow) or slice (shrink) every capacity-leading leaf of the
+        state — gaussians, Adam moments, densify accumulators.  New rows are
+        zero => dead slots with zero moments; shrinking is only meaningful
+        for template building (restore with a different auto-capacity)."""
+        old = state.gaussians.capacity
+        if new_capacity == old:
+            return state
+
+        def fix(leaf):
+            if not (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == old):
+                return leaf
+            if new_capacity < old:
+                return leaf[:new_capacity]
+            pad = jnp.zeros((new_capacity - old,) + leaf.shape[1:], leaf.dtype)
+            return jnp.concatenate([leaf, pad])
+
+        flame = (state.flame_params, state.flame_opt_state)
+        resized = jax.tree_util.tree_map(
+            fix, state._replace(flame_params=None, flame_opt_state=None))
+        return resized._replace(flame_params=flame[0], flame_opt_state=flame[1])
+
+    def maybe_grow_capacity(self, state: TrainState) -> TrainState:
+        """Double capacity when the live count nears it (<= max_gaussians).
+        Costs one step-fn recompile; init_state's 6x headroom makes this a
+        fallback, not the common path."""
+        cap = state.gaussians.capacity
+        if cap >= self.cfg.max_gaussians:
+            return state
+        alive = int(jnp.sum(state.gaussians.alive))
+        if alive <= 0.85 * cap:
+            return state
+        new_cap = min(cap * 2, self.cfg.max_gaussians)
+        log.info(f"growing gaussian capacity {cap} -> {new_cap} "
+                 f"({alive} alive; step fns recompile)")
+        return self.resize_state_capacity(state, new_cap)
+
     def grow_tile_window(self) -> bool:
         """Double max_tiles_per_gaussian (recompiles the step fns).
 
@@ -636,7 +687,6 @@ class AvatarTrainer:
         save_iters = sorted({max(iterations // 4, 1), max(iterations // 2, 1),
                              iterations})
         densify_until = int(iterations * cfg.densify_until_frac)
-        max_new = max(state.gaussians.capacity // 16, 1)
 
         for it in range(1, start_iteration + 1):
             rng.integers(0, T, size=(B,))
@@ -689,6 +739,8 @@ class AvatarTrainer:
                 and it % cfg.densify_interval == 0
             ):
                 key, sub = jax.random.split(key)
+                state = self.maybe_grow_capacity(state)
+                max_new = max(state.gaussians.capacity // 16, 1)
                 state = self._densify_fn(state, sub, max_new)
 
             if cfg.opacity_reset_interval > 0 and it % cfg.opacity_reset_interval == 0 and it < densify_until:
@@ -728,6 +780,7 @@ class AvatarTrainer:
         host_state = jax.tree_util.tree_map(np.asarray, state)
         meta = {
             "iteration": iteration,
+            "capacity": int(state.gaussians.capacity),
             "max_tiles_per_gaussian":
                 self.render_cfg["max_tiles_per_gaussian"],
             "large_frac": self.render_cfg["large_frac"],
@@ -768,10 +821,15 @@ class AvatarTrainer:
             raise FileNotFoundError(
                 f"no checkpoints/iter_* under {output_dir}")
         path, it = found
-        state = restore_state(path, template=template)
         meta_file = path.parent / f"{path.name}_meta.json"
-        if meta_file.exists():
-            meta = json.loads(meta_file.read_text())
+        meta = (json.loads(meta_file.read_text())
+                if meta_file.exists() else {})
+        # the checkpoint's capacity wins over the template's (auto-sizing or
+        # mid-run growth may differ between the two runs)
+        saved_cap = int(meta.get("capacity", template.gaussians.capacity))
+        template = self.resize_state_capacity(template, saved_cap)
+        state = restore_state(path, template=template)
+        if meta:
             want = int(meta.get("max_tiles_per_gaussian",
                                 self.render_cfg["max_tiles_per_gaussian"]))
             while self.render_cfg["max_tiles_per_gaussian"] < want:
