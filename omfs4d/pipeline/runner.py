@@ -95,9 +95,10 @@ class Pipeline:
 
         def run(out: Path):
             with stage_timer("track", self.events):
-                images_dir = Path(frames_dir) / "images"
-                frame_paths = sorted(images_dir.glob("*.png"))
-                frames = np.stack([read_image(p) for p in frame_paths])
+                with stage_timer("track.stage_frames", self.events):
+                    images_dir = Path(frames_dir) / "images"
+                    frame_paths = sorted(images_dir.glob("*.png"))
+                    frames = np.stack([read_image(p) for p in frame_paths])
                 T, H, W = frames.shape[:3]
 
                 lmk_kw = dict(landmark_kwargs or {})
@@ -109,9 +110,10 @@ class Pipeline:
                     lmk_kw.setdefault("backend", cfg.render.use_pallas)
                     lmk_kw.setdefault("train_steps", cfg.track.detector_steps)
                     lmk_kw.setdefault("image_size", cfg.track.detector_size)
-                lmk, valid = detect_landmarks(
-                    images_dir, method=landmark_method, **lmk_kw,
-                )
+                with stage_timer("track.landmarks", self.events):
+                    lmk, valid = detect_landmarks(
+                        images_dir, method=landmark_method, **lmk_kw,
+                    )
 
                 masks = None
                 if cfg.pipeline.matting != "none":
@@ -121,8 +123,10 @@ class Pipeline:
                         mat_kw = dict(model=self.model,
                                       backend=cfg.render.use_pallas,
                                       train_steps=cfg.pipeline.matting_train_steps)
-                    masks = compute_masks(frames, method=cfg.pipeline.matting,
-                                          **mat_kw)
+                    with stage_timer("track.matting", self.events):
+                        masks = compute_masks(frames,
+                                              method=cfg.pipeline.matting,
+                                              **mat_kw)
                 track_cfg = cfg.track
                 if track_cfg.rgb_downsample == 1 and max(W, H) >= 384:
                     # the reference's standard tuning for hi-res captures
