@@ -280,9 +280,16 @@ class AvatarTrainer:
         }
         self.optimizer = make_optimizer(cfg)
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._chunk_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._densify_fn = jax.jit(self._densify_prune, donate_argnums=(0,),
                                    static_argnums=(2,))
         self._eval_fn = jax.jit(self._eval_frame)
+        # device-side state copy for non-blocking checkpoints: snapshots
+        # must not alias the training state (its buffers get donated to
+        # the next step), and the D2H of ~100 MB over the tunneled chip
+        # belongs on the writer thread, not the dispatching thread
+        self._copy_fn = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s))
 
     # ── state ────────────────────────────────────────────────
     def init_state(self, capacity: int | None = None, seed: int | None = None,
@@ -440,6 +447,19 @@ class AvatarTrainer:
         }
         return new_state, metrics
 
+    def _train_chunk(self, state: TrainState, data: dict, idxs: jnp.ndarray):
+        """`idxs` (C, B) -> C training steps as ONE device program.
+
+        Per-step Python dispatch over the tunneled chip measured ~40% of
+        steady-state step time at 512^2 (25 it/s in the pipeline vs 40 on
+        the same shapes in bench.py's tight loop); a lax.scan chunk between
+        host-action boundaries (densify/log/checkpoint cadences) removes
+        it.  Returns (state, stacked per-step metrics (C,))."""
+        def body(st, idx):
+            return self._train_step(st, data, idx)
+
+        return jax.lax.scan(body, state, idxs)
+
     # ── densify / prune (jit, fixed capacity) ────────────────
     def _densify_prune(self, state: TrainState, key: jnp.ndarray, max_new: int):
         g2, slots, ok = densify_prune_arrays(
@@ -551,6 +571,7 @@ class AvatarTrainer:
 
     def _recompile_step_fns(self):
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._chunk_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_frame)
 
     @staticmethod
@@ -695,23 +716,66 @@ class AvatarTrainer:
                     and it % cfg.densify_interval == 0):
                 key, _ = jax.random.split(key)
 
-        for it in range(start_iteration + 1, iterations + 1):
-            idx = jnp.asarray(rng.integers(0, T, size=(B,)), jnp.int32)
-            state, metrics = self._step_fn(state, data, idx)
+        # the loop advances in lax.scan CHUNKS between host-action
+        # boundaries (densify / opacity reset / checkpoint / log / window
+        # checks): per-step Python dispatch over the tunneled chip measured
+        # ~40% of steady-state step time at 512^2.  Chunk lengths are
+        # quantized to two sizes so odd cadences never trigger extra scan
+        # compiles; remainders fall back to the per-step program.
+        CHUNK_SIZES = (100, 50)
+
+        def draw_idx(n):
+            # one draw PER ITERATION keeps the host RNG stream identical
+            # to the per-step loop (kill-and-resume replays depend on it)
+            return jnp.asarray(
+                np.stack([rng.integers(0, T, size=(B,)) for _ in range(n)]),
+                jnp.int32)
+
+        it = start_iteration
+        while it < iterations:
+            window_live = not (self._window_capped and self._frac_capped)
+            cands = [iterations]
+            if log_every:
+                cands.append((it // log_every + 1) * log_every)
+            if window_live and it < self.WINDOW_CHECK_UNTIL:
+                cands.append((it // self.WINDOW_CHECK_EVERY + 1)
+                             * self.WINDOW_CHECK_EVERY)
+            if cfg.densify_interval > 0 and it < densify_until:
+                cands.append((it // cfg.densify_interval + 1)
+                             * cfg.densify_interval)
+            if cfg.opacity_reset_interval > 0 and it < densify_until:
+                cands.append((it // cfg.opacity_reset_interval + 1)
+                             * cfg.opacity_reset_interval)
+            cands.extend(s for s in save_iters if s > it)
+            target = min(c for c in cands if c > it)
+
+            # warmup runs per-step so tile-window escalation reacts within
+            # single iterations — the init cloud has the largest gaussians
+            if window_live and it < self.WINDOW_CHECK_EVERY:
+                target = it + 1
+
+            metrics = None
+            while it < target:
+                n = next((c for c in CHUNK_SIZES if target - it >= c), 1)
+                if n == 1:
+                    state, metrics = self._step_fn(state, data, draw_idx(1)[0])
+                else:
+                    state, ms = self._chunk_fn(state, data, draw_idx(n))
+                    # last step's values for logging; chunk-MAX pressure for
+                    # the window checks (a sampled check can miss a spike)
+                    metrics = {
+                        k: (jnp.max(v) if k in ("window_clipped",
+                                                "window_spilled")
+                            else v[-1])
+                        for k, v in ms.items()}
+                it += n
 
             # tile-window pressure: gaussians larger than the static
             # max_tiles_per_gaussian window get silently clipped to their
             # nearest tiles — escalate the window (recompile) before that
-            # degrades many gradients.  Checked on a fast cadence (two
-            # device scalars, ~µs of D2H) through the early phase where the
-            # pressure peaks (largest gaussians, pre-split); afterwards the
-            # check drops to the log cadence so the metric fetch stops
-            # stalling the async dispatch pipeline.
-            early = it <= self.WINDOW_CHECK_UNTIL
-            if (not (self._window_capped and self._frac_capped)
-                    and ((early and (it <= self.WINDOW_CHECK_EVERY
-                                     or it % self.WINDOW_CHECK_EVERY == 0))
-                         or it % log_every == 0)):
+            # degrades many gradients.
+            if window_live and (it <= self.WINDOW_CHECK_UNTIL
+                                or it % log_every == 0 or it == iterations):
                 clipped = float(metrics["window_clipped"])
                 spilled = float(metrics["window_spilled"])
                 alive = float(metrics["n_alive"])
@@ -765,19 +829,24 @@ class AvatarTrainer:
                         iteration: int, block: bool = True):
         """Write the orbax state + PLY snapshot for `iteration`.
 
-        `block=False` fetches the state to host synchronously (cheap) and
-        writes the files on a background thread — a mid-run orbax+PLY write
-        measured ~40 s at 200k capacity on the 512^2 case, all of it dead
-        time for the chip.  The final checkpoint must block (callers read
-        it immediately); `train()` joins any stragglers before returning."""
+        `block=False` snapshots the state with an on-device copy (so the
+        donated training buffers are never aliased) and runs BOTH the D2H
+        and the file writes on a background thread — the D2H alone measured
+        ~26 s at 65k capacity over the tunneled chip, all of it dead time
+        for the dispatching thread.  The final checkpoint must block
+        (callers read it immediately); `train()` joins stragglers before
+        returning."""
         import json
         import threading
 
         from omfs4d.train.checkpoints import save_state, export_point_cloud
 
         out = Path(output_dir)
-        # D2H once, here, so the worker thread never touches device state
-        host_state = jax.tree_util.tree_map(np.asarray, state)
+        if block:
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+        else:
+            snap = self._copy_fn(state)     # device-side, microseconds
+            host_state = None
         meta = {
             "iteration": iteration,
             "capacity": int(state.gaussians.capacity),
@@ -787,13 +856,15 @@ class AvatarTrainer:
         }
 
         def write():
+            hs = (host_state if host_state is not None
+                  else jax.tree_util.tree_map(np.asarray, snap))
             ckpt = save_state(
-                out / "checkpoints" / f"iter_{iteration:07d}", host_state)
+                out / "checkpoints" / f"iter_{iteration:07d}", hs)
             (ckpt.parent / f"iter_{iteration:07d}_meta.json").write_text(
                 json.dumps(meta))
             export_point_cloud(
                 out / "point_cloud" / f"iteration_{iteration}"
-                / "point_cloud.ply", host_state.gaussians)
+                / "point_cloud.ply", hs.gaussians)
             log.info(f"checkpoint saved at iteration {iteration}")
 
         if block:

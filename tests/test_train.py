@@ -496,3 +496,38 @@ def test_multiframe_training_converges(scene):
     assert min(vals) > 20.0, vals
     # NDC-unit pressure actually densifies on a real scene
     assert int(np.asarray(state.gaussians.alive).sum()) > n0
+
+
+def test_chunked_loop_matches_per_step(scene):
+    """train() advances in lax.scan chunks between host-action boundaries;
+    the result must match per-step _step_fn dispatch on the same RNG
+    stream (same frame-index draws, same math)."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=120, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=1024,
+                      batch_frames=1)
+
+    def make():
+        t = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                          max_per_tile=256, use_pallas="never")
+        return t, t.init_state(capacity=1024)
+
+    data = _data(cam, verts, img)
+
+    t_loop, s_loop = make()
+    s_loop = t_loop.train(data, iterations=120, state=s_loop, log_every=100,
+                          rng_seed=7)
+
+    t_ref, s_ref = make()
+    dd = {k: jnp.asarray(v) for k, v in data.items()}
+    rng = np.random.default_rng(7)
+    for _ in range(120):
+        idx = jnp.asarray(rng.integers(0, 1, size=(1,)), jnp.int32)
+        s_ref, _ = t_ref._step_fn(s_ref, dd, idx)
+
+    np.testing.assert_allclose(np.asarray(s_loop.gaussians.mu_local),
+                               np.asarray(s_ref.gaussians.mu_local),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_loop.gaussians.color),
+                               np.asarray(s_ref.gaussians.color), atol=1e-5)
+    assert int(s_loop.step) == int(s_ref.step) == 120
