@@ -99,6 +99,7 @@ class ShardedAvatarTrainer:
                               "pose") for k in tree},
         ) if self.co_optimize else None
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._chunk_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._densify_fn = jax.jit(self._densify_prune, donate_argnums=(0,),
                                    static_argnums=(2,))
 
@@ -240,6 +241,16 @@ class ShardedAvatarTrainer:
     def step(self, state: TrainState, data: dict, idx) -> tuple:
         return self._step_fn(state, data, jnp.asarray(idx, jnp.int32))
 
+    def _train_chunk(self, state: TrainState, data: dict, idxs: jnp.ndarray):
+        """`idxs` (C,) or (C, B) -> C steps as one device program (same
+        dispatch-overhead rationale as AvatarTrainer._train_chunk — per-step
+        Python dispatch dominates small sharded steps even harder because
+        every dispatch also re-synchronizes the mesh)."""
+        def body(st, idx):
+            return self._train_step(st, data, idx)
+
+        return jax.lax.scan(body, state, idxs)
+
     # ── sharded densify: per-shard, zero collectives ─────────
     def _densify_prune(self, state: TrainState, keys: jnp.ndarray,
                        max_new: int):
@@ -333,9 +344,40 @@ class ShardedAvatarTrainer:
                     and it % cfg.densify_interval == 0):
                 key, _ = jax.random.split(key)
 
-        for it in range(start_iteration + 1, iterations + 1):
-            idx = draw()
-            state, metrics = self.step(state, data, idx)
+        # scan-chunked between host-action boundaries, mirroring
+        # AvatarTrainer.train (chunk sizes quantized so odd cadences never
+        # force extra scan compiles; remainders run the per-step program)
+        CHUNK_SIZES = (100, 50)
+
+        def draw_chunk(n):
+            # one draw per iteration — identical host RNG stream to the
+            # per-step loop (resume replay depends on it)
+            arr = np.stack([np.atleast_1d(draw()) for _ in range(n)])
+            if not self.data_axis:
+                arr = arr[:, 0]          # (n,) scalar indices
+            return jnp.asarray(arr, jnp.int32)
+
+        it = start_iteration
+        while it < iterations:
+            cands = [iterations]
+            if log_every:
+                cands.append((it // log_every + 1) * log_every)
+            if cfg.densify_interval > 0 and it < densify_until:
+                cands.append((it // cfg.densify_interval + 1)
+                             * cfg.densify_interval)
+            cands.extend(s for s in save_iters if s > it)
+            target = min(c for c in cands if c > it)
+
+            metrics = None
+            while it < target:
+                n = next((c for c in CHUNK_SIZES if target - it >= c), 1)
+                if n == 1:
+                    state, metrics = self.step(state, data, draw_chunk(1)[0])
+                else:
+                    state, ms = self._chunk_fn(state, data, draw_chunk(n))
+                    metrics = {k: v[-1] for k, v in ms.items()}
+                it += n
+
             if it % log_every == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}
                 log.info(f"[sharded] iter {it}/{iterations} "

@@ -434,3 +434,55 @@ def test_2d_data_gauss_sharded_trainer():
     jaw = np.asarray(sf.flame_params["jaw_pose"][:, 0])
     assert np.isfinite(float(mf["loss"]))
     assert (np.abs(jaw) < 0.3 - 1e-3).all(), jaw
+
+
+def test_sharded_trainer_chunked_loop_matches_per_step():
+    """ShardedAvatarTrainer.train advances in lax.scan chunks; the result
+    must match per-step dispatch on the same host RNG stream."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+
+    S = 32
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((2, 100))})
+    rng0 = np.random.default_rng(0)
+    images = rng0.integers(0, 255, (2, S, S, 3)).astype(np.uint8)
+    data = {
+        "images": jnp.asarray(images),
+        "verts": jnp.asarray(verts),
+        "w2c": jnp.tile(jnp.asarray(np.asarray(cam.w2c))[None], (2, 1, 1)),
+        "fx": jnp.full((2,), cam.fx), "fy": jnp.full((2,), cam.fy),
+        "cx": jnp.full((2,), cam.cx), "cy": jnp.full((2,), cam.cy),
+    }
+    cfg = TrainConfig(iterations=60, densify_interval=0, batch_frames=1,
+                      opacity_reset_interval=0, max_gaussians=512,
+                      sh_degree=1)
+    g0 = init_gaussians_on_mesh(np.asarray(model.faces), 512, seed=0,
+                                sh_degree=1)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+
+    tr_a = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                mesh=mesh, max_per_tile=256)
+    sa = tr_a.train(data, iterations=60, state=tr_a.init_state(gaussians=g0),
+                    rng_seed=5, log_every=100)
+
+    tr_b = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                mesh=mesh, max_per_tile=256)
+    sb = tr_b.init_state(gaussians=g0)
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        sb, _ = tr_b.step(sb, data, int(rng.integers(0, 2)))
+
+    np.testing.assert_allclose(np.asarray(sa.gaussians.mu_local),
+                               np.asarray(sb.gaussians.mu_local), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.gaussians.color),
+                               np.asarray(sb.gaussians.color), atol=1e-5)
+    assert int(sa.step) == int(sb.step) == 60
