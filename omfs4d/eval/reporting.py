@@ -30,10 +30,21 @@ _SSIM_C2 = (0.03 * 255.0) ** 2
 BUCKETS = ("front", "profile", "rear")
 
 
+def _f32(a: np.ndarray) -> np.ndarray:
+    """View/convert to float32 without copying when already float32.
+
+    All metric pipelines convert ONCE to f32 and accumulate reductions in
+    f64 via einsum's dtype — full-size f64 temporaries measured 16 s of
+    page-fault time per report on the 1-core host.  uint8 differences and
+    their squares are exact in f32 (|d| <= 255, d^2 <= 2^16 < 2^24), so
+    PSNR is bit-identical to the old f64 path."""
+    return np.asarray(a, np.float32)
+
+
 def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Batched PSNR on (N, ...) 0-255 arrays; zero-MSE frames hit the cap."""
-    d = a.reshape(len(a), -1).astype(np.float64) - b.reshape(len(b), -1)
-    mse = np.einsum("np,np->n", d, d) / d.shape[1]
+    d = _f32(a).reshape(len(a), -1) - _f32(b).reshape(len(b), -1)
+    mse = np.einsum("np,np->n", d, d, dtype=np.float64) / d.shape[1]
     with np.errstate(divide="ignore"):
         db = 10.0 * np.log10(255.0**2 / mse)
     return np.where(mse == 0.0, PSNR_CAP_DB, db)
@@ -45,17 +56,21 @@ def ssim_global_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     Uses whole-image statistics (one window) — the strict-gate convention,
     not the windowed perceptual SSIM.
     """
+    a = _f32(a)
+    b = _f32(b)
     if a.ndim == 4:
-        a = a.astype(np.float64) @ _LUMA
+        a = a @ _LUMA.astype(np.float32)
     if b.ndim == 4:
-        b = b.astype(np.float64) @ _LUMA
-    x = a.reshape(len(a), -1).astype(np.float64)
-    y = b.reshape(len(b), -1).astype(np.float64)
-    mx, my = x.mean(axis=1), y.mean(axis=1)
+        b = b @ _LUMA.astype(np.float32)
+    x = a.reshape(len(a), -1)
+    y = b.reshape(len(b), -1)
+    mx = x.mean(axis=1, dtype=np.float64).astype(np.float32)
+    my = y.mean(axis=1, dtype=np.float64).astype(np.float32)
     xc, yc = x - mx[:, None], y - my[:, None]
-    vx = np.einsum("np,np->n", xc, xc) / x.shape[1]
-    vy = np.einsum("np,np->n", yc, yc) / y.shape[1]
-    cov = np.einsum("np,np->n", xc, yc) / x.shape[1]
+    vx = np.einsum("np,np->n", xc, xc, dtype=np.float64) / x.shape[1]
+    vy = np.einsum("np,np->n", yc, yc, dtype=np.float64) / y.shape[1]
+    cov = np.einsum("np,np->n", xc, yc, dtype=np.float64) / x.shape[1]
+    mx, my = mx.astype(np.float64), my.astype(np.float64)
     num = (2.0 * mx * my + _SSIM_C1) * (2.0 * cov + _SSIM_C2)
     den = (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
     return num / den
@@ -73,12 +88,12 @@ def changed_region_mask_batch(
     differ).  The mask is a luma |modified - baseline| > threshold test,
     box-dilated so soft edges of the moved region are excluded too.
     """
-    a = modified.astype(np.float64)
-    b = baseline.astype(np.float64)
+    a = _f32(modified)
+    b = _f32(baseline)
     if a.ndim == 4:
-        a = a @ _LUMA
+        a = a @ _LUMA.astype(np.float32)
     if b.ndim == 4:
-        b = b @ _LUMA
+        b = b @ _LUMA.astype(np.float32)
     mask = np.abs(a - b) > threshold
     for _ in range(dilate):  # 3x3 box dilation via shifted ORs
         m = mask.copy()
@@ -97,20 +112,99 @@ def psnr_excluding_batch(a: np.ndarray, b: np.ndarray,
     Frames that are entirely excluded score nan (no unchanged pixels).
     """
     keep = ~exclude
-    d = (a.astype(np.float64) - b.astype(np.float64))
+    d = _f32(a) - _f32(b)
     if d.ndim == 4:
-        d = np.einsum("nhwc,nhwc->nhw", d, d)
+        d = np.einsum("nhwc,nhwc->nhw", d, d)   # exact: d^2 <= 2^16 < 2^24
         n_ch = a.shape[-1]
     else:
         d = d * d
         n_ch = 1
     counts = keep.sum(axis=(1, 2)) * n_ch
-    sse = np.einsum("nhw,nhw->n", d, keep.astype(np.float64))
+    sse = np.einsum("nhw,nhw->n", d, keep.astype(np.float32),
+                    dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         mse = sse / counts
         db = 10.0 * np.log10(255.0**2 / mse)
     return np.where(counts == 0, np.nan,
                     np.where(mse == 0.0, PSNR_CAP_DB, db))
+
+
+_LUMA32 = _LUMA.astype(np.float32)
+
+
+def _luma_into(a: np.ndarray, out: np.ndarray) -> np.ndarray:
+    if a.ndim == 2:
+        np.copyto(out, a)
+        return out
+    return np.matmul(a, _LUMA32, out=out)
+
+
+def _psnr_pair(a: np.ndarray, b: np.ndarray, s: dict) -> float:
+    d = s["c"]
+    np.subtract(a, b, out=d)
+    sse = float(np.einsum("hwc,hwc->", d, d, dtype=np.float64)
+                if d.ndim == 3 else
+                np.einsum("hw,hw->", d, d, dtype=np.float64))
+    mse = sse / d.size
+    if mse == 0.0:
+        return PSNR_CAP_DB
+    return 10.0 * float(np.log10(255.0**2 / mse))
+
+
+def _ssim_pair(a: np.ndarray, b: np.ndarray, s: dict) -> float:
+    x = _luma_into(a, s["pa"])
+    y = _luma_into(b, s["pb"])
+    mx = float(np.float32(x.mean(dtype=np.float64)))
+    my = float(np.float32(y.mean(dtype=np.float64)))
+    x -= np.float32(mx)
+    y -= np.float32(my)
+    n = x.size
+    vx = float(np.einsum("hw,hw->", x, x, dtype=np.float64)) / n
+    vy = float(np.einsum("hw,hw->", y, y, dtype=np.float64)) / n
+    cov = float(np.einsum("hw,hw->", x, y, dtype=np.float64)) / n
+    num = (2.0 * mx * my + _SSIM_C1) * (2.0 * cov + _SSIM_C2)
+    den = (mx * mx + my * my + _SSIM_C1) * (vx + vy + _SSIM_C2)
+    return num / den
+
+
+def _psnr_unchanged_pair(a: np.ndarray, gt: np.ndarray, bl: np.ndarray,
+                         s: dict, threshold: float = 8.0,
+                         dilate: int = 4) -> float:
+    """Streamed equivalent of changed_region_mask_batch +
+    psnr_excluding_batch for one frame (same constants, same math)."""
+    la = _luma_into(a, s["pa"])
+    lb = _luma_into(bl, s["pb"])
+    np.subtract(la, lb, out=la)
+    np.abs(la, out=la)
+    mask, m2 = s["m"], s["m2"]
+    np.greater(la, threshold, out=mask)
+    for _ in range(dilate):
+        np.copyto(m2, mask)
+        m2[1:] |= mask[:-1]
+        m2[:-1] |= mask[1:]
+        m2[:, 1:] |= mask[:, :-1]
+        m2[:, :-1] |= mask[:, 1:]
+        mask, m2 = m2, mask
+    if a.ndim == 3:
+        d3 = s["c"]
+        np.subtract(a, gt, out=d3)
+        d2 = np.einsum("hwc,hwc->hw", d3, d3, out=s["pb"])
+        n_ch = a.shape[-1]
+    else:
+        d2 = np.subtract(a, gt, out=s["pb"])
+        np.multiply(d2, d2, out=d2)
+        n_ch = 1
+    keepf = s["pa"]
+    np.logical_not(mask, out=m2)
+    np.copyto(keepf, m2)
+    count = float(m2.sum()) * n_ch
+    if count == 0:
+        return float("nan")
+    sse = float(np.einsum("hw,hw->", d2, keepf, dtype=np.float64))
+    mse = sse / count
+    if mse == 0.0:
+        return PSNR_CAP_DB
+    return 10.0 * float(np.log10(255.0**2 / mse))
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -210,26 +304,40 @@ def score_frame_pairs(
     progress = np.asarray(indices, np.float64) / denom
     buckets = bucket_batch(progress)
 
+    # Streamed per-frame scoring with SHAPE-KEYED preallocated scratch:
+    # stacking all frames and converting to float batches measured ~20 s of
+    # page-fault time per report on the 1-core microVM host (every fresh
+    # large allocation faults page-by-page).  The math is identical to the
+    # batch functions: exact f32 products, f64 einsum accumulation.
     psnr_vals = np.empty(len(indices))
     ssim_vals = np.empty(len(indices))
-    by_shape: dict[tuple, list[int]] = {}
-    for i, img in enumerate(renders):
-        by_shape.setdefault(img.shape, []).append(i)
     unchanged_vals = np.full(len(indices), np.nan)
-    for group in by_shape.values():
-        a = np.stack([renders[i] for i in group]).astype(np.float64)
-        b = np.stack([gts[i] for i in group]).astype(np.float64)
-        psnr_vals[group] = psnr_batch(a, b)
-        ssim_vals[group] = ssim_global_batch(a, b)
-        with_base = [i for i in group
-                     if baselines and baselines[i] is not None
-                     and baselines[i].shape == renders[i].shape]
-        if with_base:
-            am = np.stack([renders[i] for i in with_base])
-            bl = np.stack([baselines[i] for i in with_base])
-            gt = np.stack([gts[i] for i in with_base])
-            masks = changed_region_mask_batch(am, bl)
-            unchanged_vals[with_base] = psnr_excluding_batch(am, gt, masks)
+    scratch: dict[tuple, dict] = {}
+
+    def bufs(shape):
+        if shape not in scratch:
+            scratch[shape] = {
+                "a": np.empty(shape, np.float32),
+                "b": np.empty(shape, np.float32),
+                "c": np.empty(shape, np.float32),
+                "pa": np.empty(shape[:2], np.float32),
+                "pb": np.empty(shape[:2], np.float32),
+                "m": np.empty(shape[:2], bool),
+                "m2": np.empty(shape[:2], bool),
+            }
+        return scratch[shape]
+
+    for i in range(len(indices)):
+        s = bufs(renders[i].shape)
+        a, b = s["a"], s["b"]
+        np.copyto(a, renders[i])
+        np.copyto(b, gts[i])
+        psnr_vals[i] = _psnr_pair(a, b, s)
+        ssim_vals[i] = _ssim_pair(a, b, s)
+        if (baselines and baselines[i] is not None
+                and baselines[i].shape == renders[i].shape):
+            np.copyto(s["c"], baselines[i])
+            unchanged_vals[i] = _psnr_unchanged_pair(a, b, s["c"], s)
 
     out = []
     for i in range(len(indices)):
