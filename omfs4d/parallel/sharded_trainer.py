@@ -345,9 +345,9 @@ class ShardedAvatarTrainer:
                 key, _ = jax.random.split(key)
 
         # scan-chunked between host-action boundaries, mirroring
-        # AvatarTrainer.train (chunk sizes quantized so odd cadences never
-        # force extra scan compiles; remainders run the per-step program)
-        CHUNK_SIZES = (100, 50)
+        # AvatarTrainer.train (one chunk size — each extra size is another
+        # full compile; remainders run the per-step program)
+        CHUNK_SIZES = (50,)
 
         def draw_chunk(n):
             # one draw per iteration — identical host RNG stream to the

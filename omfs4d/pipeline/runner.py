@@ -378,6 +378,7 @@ class Pipeline:
                 backend=self.cfg.render.use_pallas,
                 white_background=self.cfg.render.white_background,
                 n_tile=max(self.cfg.parallel.n_tile, 1),
+                max_per_tile=self.cfg.render.max_per_tile,
                 **kw,
             )
 

@@ -185,6 +185,7 @@ def render_prediction(
     keep_modified_dataset: bool = False,
     white_background: bool = True,
     n_tile: int = 1,
+    max_per_tile: int = 512,
 ) -> dict:
     """Full prediction pipeline: offsets -> modified dataset -> render -> MP4."""
     lefort_offset = compute_offset(lefort_mm, sensitivity)
@@ -236,6 +237,7 @@ def render_prediction(
             flame_model, gaussians, modified, renders_dir, out_gt=gt_dir,
             split="train", backend=backend, white_background=white_background,
             max_tiles_per_gaussian=window, n_tile=n_tile,
+            max_per_tile=max_per_tile,
         )
 
         if export_frames_dir:

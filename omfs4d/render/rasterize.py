@@ -144,7 +144,11 @@ def bin_gaussians(
         needs_large = visible & ((span_x > kw_s) | (span_y > kh_s))
         m = min(n, max(large_min, int(round(n * large_frac))))
         score = jnp.where(needs_large, radius, -1.0)
-        top_vals, large_sel = jax.lax.top_k(score, m)
+        # approx_max_k rides the TPU PartialReduce unit (exact top_k
+        # measured 1.6 ms at N=131k — ~6% of the whole train step); a
+        # recall miss only demotes a borderline gaussian to the small
+        # window, which the `spilled` counter + escalation already govern
+        top_vals, large_sel = jax.lax.approx_max_k(score, m)
         sel_ok = top_vals > 0
         is_large = jnp.zeros((n,), bool).at[large_sel].set(sel_ok)
         ft_s, fi_s, fd_s = window_pairs(

@@ -52,6 +52,54 @@ def _full_fg(frames: np.ndarray, **_) -> np.ndarray:
     return np.ones(frames.shape[:3], dtype=np.float32)
 
 
+def _box_blur_jnp(mask, k: int):
+    """Batched (T, H, W) separable box blur — the jnp twin of _box_blur."""
+    import jax.numpy as jnp
+
+    pad = k // 2
+    out = mask
+    for axis in (-2, -1):
+        n = out.shape[axis]
+        idx = jnp.clip(jnp.arange(-pad, n + pad), 0, n - 1)
+        p = jnp.take(out, idx, axis=axis)
+        c = jnp.cumsum(p, axis=axis)
+        lead = jnp.take(c, jnp.arange(k - 1, k - 1 + n), axis=axis)
+        lag = jnp.concatenate([
+            jnp.zeros_like(jnp.take(c, jnp.asarray([0]), axis=axis)),
+            jnp.take(c, jnp.arange(0, n - 1), axis=axis),
+        ], axis=axis)
+        out = (lead - lag) / k
+    return out
+
+
+def _classify_device(frames: np.ndarray, centers: np.ndarray,
+                     threshold: float, smooth: int):
+    """Distance-to-nearest-color-mode foreground test, jitted.
+
+    Shapes are static per capture; the program is cached in the persistent
+    compile cache across runs of the same resolution."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(fr, cs, thr2, sm):
+        f = fr.astype(jnp.float32)
+        d2min = jnp.full(f.shape[:3], jnp.inf, jnp.float32)
+        for i in range(cs.shape[0]):
+            diff = f - cs[i]
+            d2min = jnp.minimum(
+                d2min, jnp.einsum("thwc,thwc->thw", diff, diff))
+        m = (d2min > thr2).astype(jnp.float32)
+        if sm > 1:
+            m = (_box_blur_jnp(m, sm) > 0.5).astype(jnp.float32)
+        return m
+
+    return run(jnp.asarray(frames), jnp.asarray(centers),
+               float(threshold) ** 2, int(smooth))
+
+
 @register_matting("median_background")
 def _median_background(
     frames: np.ndarray,
@@ -108,18 +156,13 @@ def _border_color(
             if len(sel):
                 centers[j] = sel.mean(0)
 
-    # nearest-mode distance WITHOUT materializing the (T, H, W, k, 3)
-    # broadcast (755 MB at 60x512^2) — a running min over k is ~9x faster
-    # on the single-core host this runs on
-    d2min = np.full(f.shape[:3], np.inf, np.float32)
-    for c in centers:
-        diff = f - c
-        np.minimum(d2min, np.einsum("thwc,thwc->thw", diff, diff), out=d2min)
-    mask = (d2min > threshold * threshold).astype(np.float32)  # (T, H, W)
-
-    if smooth > 1:
-        mask = np.stack([_box_blur(m, smooth) for m in mask])
-        mask = (mask > 0.5).astype(np.float32)
+    # per-pixel classification runs JITTED ON DEVICE: the running-min +
+    # blur is ~10 passes over a (T, H, W[, 3]) volume (250+ MB of host
+    # temporaries at 60x512^2) — measured 47 s of the track stage on the
+    # 1-core host, ~1 ms of device elementwise.  Only the uint8 frames go
+    # up and the binary mask comes back.
+    mask = np.asarray(_classify_device(frames, centers.astype(np.float32),
+                                       float(threshold), int(smooth)))
 
     if keep_largest:
         from scipy import ndimage

@@ -553,7 +553,11 @@ class AvatarTrainer:
         side = int(np.clip(side_needed, cur_side, max_side))
         n_large = int((vis > small_side).sum()) // len(probe_idx)
         capacity = int(state.gaussians.capacity)
-        frac_needed = min(2.0 * n_large / max(capacity, 1), 1.0)
+        # 4x margin: densification splits ADD large gaussians as alive grows
+        # (a 2x margin measured a mid-run spill regrow at iter ~2100 on the
+        # 512^2 case — a ~150 s recompile of every step program; the wider
+        # budget costs only ~1 ms of extra sort pairs per step)
+        frac_needed = min(4.0 * n_large / max(capacity, 1), 1.0)
         changed = False
         if side * side > self.render_cfg["max_tiles_per_gaussian"]:
             self.render_cfg["max_tiles_per_gaussian"] = side * side
@@ -719,10 +723,11 @@ class AvatarTrainer:
         # the loop advances in lax.scan CHUNKS between host-action
         # boundaries (densify / opacity reset / checkpoint / log / window
         # checks): per-step Python dispatch over the tunneled chip measured
-        # ~40% of steady-state step time at 512^2.  Chunk lengths are
-        # quantized to two sizes so odd cadences never trigger extra scan
-        # compiles; remainders fall back to the per-step program.
-        CHUNK_SIZES = (100, 50)
+        # ~40% of steady-state step time at 512^2.  ONE chunk size: each
+        # extra size is another full compile of the whole step graph
+        # (~40-90 s at 512^2) to save only a couple of dispatch round-trips
+        # per boundary; remainders fall back to the per-step program.
+        CHUNK_SIZES = (50,)
 
         def draw_idx(n):
             # one draw PER ITERATION keeps the host RNG stream identical

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/omfs4d_e2e")
     ap.add_argument("--out", default="E2E_TIMING.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--max-per-tile", type=int, default=0,
+                    help="override render.max_per_tile (0 = config default)")
     ap.add_argument("--gt-track", action="store_true",
                     help="bypass the tracker and train directly on the GT "
                          "synthetic FLAME params — isolates trainer fidelity "
@@ -78,6 +80,8 @@ def main():
     cfg.pipeline.max_frames = args.frames
     cfg.pipeline.min_train_frames = min(50, max(args.frames - 2, 1))
     cfg.render.use_pallas = use_pallas
+    if args.max_per_tile:
+        cfg.render.max_per_tile = args.max_per_tile
     cfg.train.iterations = args.iters
     if args.frames < 20:     # smoke-scale tracking budget
         for k, v in dict(steps_lmk_init_rigid=20, steps_lmk_init_all=15,

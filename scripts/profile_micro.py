@@ -1,8 +1,8 @@
-"""Sub-piece timings for the two dominant train-step costs (binning,
-composite bwd) — decides where the next perf wave goes.
-
-Pieces are timed with their inputs pre-staged on device so each number is
-one op's cost, not a chain.  Run on the real chip.
+"""Sub-piece timings for the train-step costs (binning, composite) with
+CHAINED data dependencies: each iteration's input depends on the previous
+iteration's output, so executions cannot overlap and the average is a true
+per-op latency.  (Repeated independent calls measured nonsense on the
+tunneled chip — dispatch pipelining hid the device time.)
 """
 
 import sys
@@ -19,20 +19,17 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from omfs4d.render.rasterize import bin_gaussians
-from omfs4d.render.pallas_kernels import (
-    _call_bwd,
-    _call_fwd,
-    composite_pallas,
-)
+from omfs4d.render.pallas_kernels import _call_bwd, _call_fwd, composite_pallas
 
 
-def timed(fn, *args, n=30, label=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed_chain(step, x0, n=30, label=""):
+    """step: x -> x (same structure).  Chained: no overlap possible."""
+    x = step(x0)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = step(x)
+    jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{label:<46s} {dt:8.3f} ms", flush=True)
     return dt
@@ -41,13 +38,11 @@ def timed(fn, *args, n=30, label=""):
 def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
          tile=16):
     W = H = size
-    grid_w = grid_h = (size + tile - 1) // tile
-    num_tiles = grid_w * grid_h
+    grid_w = (size + tile - 1) // tile
+    num_tiles = grid_w * grid_w
     rng = np.random.default_rng(0)
     N = capacity
 
-    # synthetic projected gaussians matching bench.py's distribution:
-    # `alive` real ones spread over the image, the rest culled
     uv = rng.uniform(0, size, (N, 2)).astype(np.float32)
     radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
     depth = rng.uniform(0.1, 2.0, (N,)).astype(np.float32)
@@ -56,7 +51,7 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
     opac = np.where(in_front, 0.7, 0.0).astype(np.float32)
     conic = np.stack([1.0 / radius**2, np.zeros_like(radius),
                       1.0 / radius**2], axis=1).astype(np.float32)
-    colors = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
 
     proj = {
         "uv": jnp.asarray(uv),
@@ -67,108 +62,189 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
     }
     opacity = jnp.asarray(opac)
 
-    # ── binning sub-pieces ───────────────────────────────────
     print(f"== binning (N={N}, alive={alive}, tiles={num_tiles}) ==")
-    bin_full = jax.jit(lambda p, o: bin_gaussians(
-        p, o, W, H, tile, max_per_tile))
-    binning = bin_full(proj, opacity)
-    timed(bin_full, proj, opacity, label="bin_gaussians FULL (two-class)")
 
-    bin_uni = jax.jit(lambda p, o: bin_gaussians(
-        p, o, W, H, tile, max_per_tile, two_class_min_n=1 << 30))
-    timed(bin_uni, proj, opacity, label="bin_gaussians uniform-16 window")
+    def chain_bin(two_class_min_n):
+        @jax.jit
+        def step(p):
+            b = bin_gaussians(p, opacity, W, H, tile, max_per_tile,
+                              two_class_min_n=two_class_min_n)
+            # fold a scalar of the output back into the input
+            eps = (b.tile_counts.sum() % 7).astype(jnp.float32) * 1e-12
+            return {**p, "uv": p["uv"] + eps}
+        return step
+
+    timed_chain(chain_bin(4096), proj, label="bin_gaussians two-class")
+    timed_chain(chain_bin(1 << 30), proj, label="bin_gaussians uniform-16")
 
     m = max(1024, int(round(N * 0.125)))
-    topk = jax.jit(lambda r: jax.lax.top_k(r, m))
-    timed(topk, proj["radius"], label=f"top_k(N, m={m}) alone")
 
-    # pair expansion + sort + lists, isolated at the two-class pair count
-    n_pairs_s = N * 4
-    n_pairs_l = m * 16
-    n_pairs = n_pairs_s + n_pairs_l
-    keys = jnp.asarray(
-        rng.integers(0, np.int32(2**31 - 1), (n_pairs,)), jnp.int32)
-    payload = jnp.asarray(rng.integers(0, N, (n_pairs,)), jnp.int32)
-    sort2 = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
-    timed(sort2, keys, payload, label=f"lax.sort key+payload ({n_pairs} pairs)")
+    @jax.jit
+    def chain_topk(r):
+        vals, _ = jax.lax.top_k(r, m)
+        return r + vals[0] * 1e-12
+    timed_chain(chain_topk, proj["radius"], label=f"top_k(N, m={m})")
 
-    sort1 = jax.jit(lambda k: jax.lax.sort(k))
-    timed(sort1, keys, label=f"lax.sort key only   ({n_pairs} pairs)")
+    for n_pairs in (N * 4 + m * 16, N * 16):
+        keys = jnp.asarray(
+            rng.integers(0, np.int32(2**31 - 1), (n_pairs,)), jnp.int32)
+        payload = jnp.asarray(rng.integers(0, N, (n_pairs,)), jnp.int32)
 
-    keys_u = jnp.asarray(
-        rng.integers(0, np.int32(2**31 - 1), (N * 16,)), jnp.int32)
-    pay_u = jnp.asarray(rng.integers(0, N, (N * 16,)), jnp.int32)
-    timed(sort2, keys_u, pay_u, label=f"lax.sort key+payload ({N*16} pairs)")
+        @jax.jit
+        def chain_sort(kv):
+            k, v = kv
+            sk, sv = jax.lax.sort((k, v), num_keys=1)
+            return (sk ^ v, sv)        # depends on output, same distribution
+        timed_chain(chain_sort, (keys, payload),
+                    label=f"lax.sort key+payload ({n_pairs} pairs)")
 
-    s_key, s_idx = sort2(keys, payload)
+    binning = jax.jit(lambda p, o: bin_gaussians(
+        p, o, W, H, tile, max_per_tile))(proj, opacity)
 
-    def lists_only(sk, si):
-        s_tile = sk >> 20
-        starts = jnp.searchsorted(
-            s_tile, jnp.arange(num_tiles + 1, dtype=s_tile.dtype),
-            side="left").astype(jnp.int32)
-        counts_raw = starts[1:] - starts[:-1]
-        pos = starts[:-1, None] + jnp.arange(max_per_tile,
-                                             dtype=jnp.int32)[None, :]
-        valid = (jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-                 < counts_raw[:, None])
-        return jnp.where(valid, si[jnp.clip(pos, 0, n_pairs - 1)], 0)
-
-    timed(jax.jit(lists_only), s_key, s_idx,
-          label="searchsorted + tile_lists gather")
-
-    # ── composite sub-pieces ─────────────────────────────────
     print(f"== composite (T={num_tiles}, K={max_per_tile}) ==")
-    T = num_tiles
-    K = max_per_tile
+    T, K = binning.tile_lists.shape
     P = tile * tile
 
-    comp = jax.jit(lambda u, c, col, o, b: composite_pallas(
-        u, c, col, o, b, W, H, tile))
-    cols_j = jnp.asarray(colors)
-    timed(comp, proj["uv"], conic, cols_j, opacity, binning,
-          label="composite_pallas fwd (incl. pack)")
+    @jax.jit
+    def chain_fwd(u):
+        img, alpha = composite_pallas(u, conic, colors, opacity, binning,
+                                      W, H, tile)
+        return u + img[0, 0, 0] * 1e-12
+    timed_chain(chain_fwd, proj["uv"], label="composite fwd (incl. pack)")
 
-    def pack_only(u, c, col, o, b):
-        params9 = jnp.concatenate([u, c, col, o[:, None]], axis=1)
-        g9 = params9[b.tile_lists]
+    def pack(u):
+        params9 = jnp.concatenate([u, conic, colors, opacity[:, None]],
+                                  axis=1)
+        g9 = params9[binning.tile_lists]
         k_valid = (jnp.arange(K, dtype=jnp.int32)[None, :]
-                   < b.tile_counts[:, None])
+                   < binning.tile_counts[:, None])
         g9 = jnp.concatenate(
             [g9[..., :8], jnp.where(k_valid, g9[..., 8], 0.0)[..., None]],
             axis=-1)
         return jnp.swapaxes(g9, 1, 2)
 
-    pack_j = jax.jit(pack_only)
-    packed = pack_j(proj["uv"], conic, cols_j, opacity, binning)
-    timed(pack_j, proj["uv"], conic, cols_j, opacity, binning,
-          label="packing (concat+gather+swap) only")
+    @jax.jit
+    def chain_pack(u):
+        return u + pack(u)[0, 0, 0] * 1e-12
+    timed_chain(chain_pack, proj["uv"], label="packing (concat+gather+swap)")
 
-    fwd_k = jax.jit(lambda p: _call_fwd(p, tile, grid_w, False))
-    timed(fwd_k, packed, label="fwd pallas kernel only")
+    packed0 = jax.jit(pack)(proj["uv"])
+
+    @jax.jit
+    def chain_fwd_kernel(p):
+        col, alp = _call_fwd(p, tile, grid_w, False)
+        return p + col[0, 0, 0] * 1e-12
+    timed_chain(chain_fwd_kernel, packed0, label="fwd pallas kernel only")
 
     dcol = jnp.ones((T, 3, P), jnp.float32)
     dalpha = jnp.ones((T, 1, P), jnp.float32)
-    bwd_k = jax.jit(lambda p, dc, da: _call_bwd(p, dc, da, tile, grid_w,
-                                                False))
-    timed(bwd_k, packed, dcol, dalpha, label="bwd pallas kernel only")
 
-    def unpack_grad(dpacked, b):
-        # the packing transpose: scatter-add back to (N, 9)
-        dg9 = jnp.swapaxes(dpacked, 1, 2)                  # (T, K, 9)
-        return jnp.zeros((N, 9), jnp.float32).at[b.tile_lists].add(dg9)
+    @jax.jit
+    def chain_bwd_kernel(p):
+        dp = _call_bwd(p, dcol, dalpha, tile, grid_w, False)
+        return p + dp[0, 0, 0] * 1e-12
+    timed_chain(chain_bwd_kernel, packed0, label="bwd pallas kernel only")
 
-    dpacked = bwd_k(packed, dcol, dalpha)
-    timed(jax.jit(unpack_grad), dpacked, binning,
-          label="scatter-add unpack (gather transpose)")
+    @jax.jit
+    def chain_scatter(dp):
+        dg9 = jnp.swapaxes(dp, 1, 2)
+        out = jnp.zeros((N, 9), jnp.float32).at[binning.tile_lists].add(dg9)
+        return dp + out[0, 0] * 1e-12
+    dpacked0 = jax.jit(
+        lambda p: _call_bwd(p, dcol, dalpha, tile, grid_w, False))(packed0)
+    timed_chain(chain_scatter, dpacked0, label="scatter-add unpack")
 
-    full_grad = jax.jit(jax.grad(
-        lambda u, c, col, o: jnp.sum(
-            composite_pallas(u, c, col, o, binning, W, H, tile)[0]),
-        argnums=(0, 1, 2, 3)))
-    timed(full_grad, proj["uv"], conic, cols_j, opacity,
-          label="composite fwd+bwd via autodiff (whole)")
+    grad_fn = jax.grad(
+        lambda u: jnp.sum(
+            composite_pallas(u, conic, colors, opacity, binning,
+                             W, H, tile)[0]))
+
+    @jax.jit
+    def chain_grad(u):
+        return u + grad_fn(u) * 1e-12
+    timed_chain(chain_grad, proj["uv"], label="composite fwd+bwd (full VJP)")
+
+
+def grad_map_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
+                tile=16):
+    """A/B the structured gather transpose vs the generic scatter-add."""
+    W = H = size
+    grid_w = (size + tile - 1) // tile
+    rng = np.random.default_rng(0)
+    N = capacity
+    uv = rng.uniform(0, size, (N, 2)).astype(np.float32)
+    radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
+    conic = np.stack([1.0 / radius**2, np.zeros_like(radius),
+                      1.0 / radius**2], axis=1).astype(np.float32)
+    in_front = np.zeros((N,), bool)
+    in_front[:alive] = True
+    opac = jnp.asarray(np.where(in_front, 0.7, 0.0).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    proj = {
+        "uv": jnp.asarray(uv),
+        "radius": jnp.asarray(radius),
+        "depth": jnp.asarray(rng.uniform(0.1, 2.0, (N,)).astype(np.float32)),
+        "in_front": jnp.asarray(in_front),
+        "conic": jnp.asarray(conic),
+    }
+
+    for gmap in (False, True):
+        @jax.jit
+        def chain_bin(p, gmap=gmap):
+            b = bin_gaussians(p, opac, W, H, tile, max_per_tile,
+                              build_grad_map=gmap)
+            eps = (b.tile_counts.sum() % 7).astype(jnp.float32) * 1e-12
+            return {**p, "uv": p["uv"] + eps}
+        timed_chain(chain_bin, proj, label=f"bin_gaussians grad_map={gmap}")
+
+    for gmap in (False, True):
+        binning = jax.jit(lambda p, o: bin_gaussians(
+            p, o, W, H, tile, max_per_tile, build_grad_map=gmap))(proj, opac)
+        grad_fn = jax.grad(
+            lambda u: jnp.sum(
+                composite_pallas(u, conic, colors, opac, binning,
+                                 W, H, tile)[0]))
+
+        @jax.jit
+        def chain_grad(u, grad_fn=grad_fn):
+            return u + grad_fn(u) * 1e-12
+        timed_chain(chain_grad, proj["uv"],
+                    label=f"composite VJP grad_map={gmap}")
+
+    # pieces of the map path
+    binning = jax.jit(lambda p, o: bin_gaussians(
+        p, o, W, H, tile, max_per_tile, build_grad_map=True))(proj, opac)
+    gm = binning.grad_map
+    T, K = binning.tile_lists.shape
+    n_pairs = N * 4 + gm["pair_pos_large"].shape[0] * 16
+    slot = jnp.asarray(rng.integers(-1, T * K, (n_pairs,)), jnp.int32)
+    perm = jnp.asarray(rng.permutation(n_pairs).astype(np.int32))
+
+    @jax.jit
+    def chain_invperm(s):
+        out = jnp.zeros((n_pairs,), jnp.int32).at[perm].set(
+            s, unique_indices=True)
+        return s ^ out
+    timed_chain(chain_invperm, slot, label="1:1 inverse-perm scatter")
+
+    dflat = jnp.asarray(rng.uniform(0, 1, (T * K, 9)).astype(np.float32))
+
+    @jax.jit
+    def chain_takesum(df):
+        def take_sum(pos):
+            okm = pos >= 0
+            v = df[jnp.clip(pos, 0)]
+            return jnp.where(okm[..., None], v, 0.0).sum(axis=1)
+        d = take_sum(gm["pair_pos_small"])
+        d = d.at[gm["large_sel"]].add(take_sum(gm["pair_pos_large"]),
+                                      unique_indices=True)
+        return df + d[0] * 1e-12
+    timed_chain(chain_takesum, dflat, label="bwd take_sum (window gathers)")
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if len(_s.argv) > 1 and _s.argv[1] == "ab":
+        grad_map_ab()
+    else:
+        main()

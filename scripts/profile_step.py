@@ -138,4 +138,11 @@ def main(size=512, capacity=131_072, target_alive=65_536, max_per_tile=512):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--capacity", type=int, default=131_072)
+    ap.add_argument("--alive", type=int, default=65_536)
+    ap.add_argument("--max-per-tile", type=int, default=512)
+    a = ap.parse_args()
+    main(a.size, a.capacity, a.alive, a.max_per_tile)

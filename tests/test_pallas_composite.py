@@ -121,3 +121,4 @@ def test_two_level_k_paths_match_reference():
         scale = max(float(jnp.abs(b).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4 * scale, rtol=3e-3)
+
