@@ -118,7 +118,7 @@ def main():
     n_vertices = 700 if quick else 5143
     capacity = 4096 if quick else 131_072
     target_alive = 2048 if quick else 65_536
-    max_per_tile = 128 if quick else 512
+    max_per_tile = 128 if quick else 256
 
     _mark("jax init")
     backend = jax.default_backend()

@@ -71,7 +71,9 @@ class RenderConfig:
     """Differentiable gaussian rasterizer settings."""
 
     tile: int = 16                 # pixel tile edge (screen-space binning)
-    max_per_tile: int = 512        # capped per-tile gaussian list (fixed shape)
+    max_per_tile: int = 256        # capped per-tile gaussian list (fixed shape;
+    #   depth-sorted, so the cap keeps the NEAREST K — the early-termination
+    #   analogue.  Train and render must use the same K (checkpoint meta)
     max_tiles_per_gaussian: int = 16
     white_background: bool = True
     use_pallas: str = "auto"       # auto | always | never

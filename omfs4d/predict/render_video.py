@@ -215,6 +215,13 @@ def render_prediction(
     if window > 16:
         log.info(f"render window: max_tiles_per_gaussian={window} "
                  f"(from training meta)")
+    if meta.get("max_per_tile"):
+        # composite with the trainer's per-tile capacity: larger K exposes
+        # depth-tail gaussians the loss never supervised (-6 dB measured),
+        # smaller K clips content the loss relied on
+        max_per_tile = int(meta["max_per_tile"])
+        log.info(f"render per-tile capacity: max_per_tile={max_per_tile} "
+                 f"(from training meta)")
 
     # clear stale renders (parity: render_surgery.py:260-267)
     train_dir = model_dir / "train"

@@ -138,13 +138,17 @@ def _border_color(
     This is the right default for the reference's capture protocol (static
     selfie video, subject centered) where a temporal-median background
     model would absorb the subject."""
-    f = frames.astype(np.float32)
-    T, H, W = f.shape[:3]
+    frames = np.asarray(frames)
+    T, H, W = frames.shape[:3]
 
+    # border pixels only — converting the whole (T, H, W, 3) volume to f32
+    # on the host costs seconds of page faults for nothing
     bp = np.concatenate([
-        f[:, :border].reshape(-1, 3), f[:, -border:].reshape(-1, 3),
-        f[:, :, :border].reshape(-1, 3), f[:, :, -border:].reshape(-1, 3),
-    ])
+        frames[:, :border].reshape(-1, 3),
+        frames[:, -border:].reshape(-1, 3),
+        frames[:, :, :border].reshape(-1, 3),
+        frames[:, :, -border:].reshape(-1, 3),
+    ]).astype(np.float32)
     rng = np.random.default_rng(0)
     sample = bp[rng.choice(len(bp), size=min(len(bp), 20_000), replace=False)]
     centers = sample[rng.choice(len(sample), size=k, replace=False)]

@@ -858,6 +858,11 @@ class AvatarTrainer:
             "max_tiles_per_gaussian":
                 self.render_cfg["max_tiles_per_gaussian"],
             "large_frac": self.render_cfg["large_frac"],
+            # renders must composite with the SAME per-tile capacity the
+            # loss saw: a K=256-trained avatar rendered at K=512 exposes
+            # depth-tail gaussians training never supervised (measured
+            # 27.9 vs 33.7 dB selfrecon at 512^2)
+            "max_per_tile": self.render_cfg["max_per_tile"],
         }
 
         def write():
