@@ -242,9 +242,110 @@ def grad_map_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
     timed_chain(chain_takesum, dflat, label="bwd take_sum (window gathers)")
 
 
+def pack_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=256,
+            tile=16):
+    """A/B alternative formulations of the pack gather + its scatter-add
+    transpose (the dominant VJP cost): row-gather of a fused (N, 9) table
+    vs 9 component-wise 1-D gathers vs one flattened 1-D gather."""
+    W = H = size
+    grid_w = (size + tile - 1) // tile
+    rng = np.random.default_rng(0)
+    N = capacity
+    radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
+    in_front = np.zeros((N,), bool)
+    in_front[:alive] = True
+    opac = jnp.asarray(np.where(in_front, 0.7, 0.0).astype(np.float32))
+    proj = {
+        "uv": jnp.asarray(rng.uniform(0, size, (N, 2)).astype(np.float32)),
+        "radius": jnp.asarray(radius),
+        "depth": jnp.asarray(rng.uniform(0.1, 2.0, (N,)).astype(np.float32)),
+        "in_front": jnp.asarray(in_front),
+        "conic": jnp.asarray(np.stack(
+            [1.0 / radius**2, np.zeros_like(radius), 1.0 / radius**2],
+            axis=1).astype(np.float32)),
+    }
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    binning = jax.jit(lambda p, o: bin_gaussians(
+        p, o, W, H, tile, max_per_tile))(proj, opac)
+    idx = binning.tile_lists
+    T, K = idx.shape
+    k_valid = (jnp.arange(K, dtype=jnp.int32)[None, :]
+               < binning.tile_counts[:, None])
+    print(f"== pack A/B (T={T}, K={K}, N={N}) ==")
+
+    def pack_row(u):
+        params9 = jnp.concatenate(
+            [u, proj["conic"], colors, opac[:, None]], axis=1)
+        g9 = params9[idx]
+        g9 = jnp.concatenate(
+            [g9[..., :8], jnp.where(k_valid, g9[..., 8], 0.0)[..., None]],
+            axis=-1)
+        return jnp.swapaxes(g9, 1, 2)                     # (T, 9, K)
+
+    def pack_comp(u):
+        comps = [u[:, 0], u[:, 1], proj["conic"][:, 0], proj["conic"][:, 1],
+                 proj["conic"][:, 2], colors[:, 0], colors[:, 1],
+                 colors[:, 2], opac]
+        g = [c[idx] for c in comps]                       # 9 x (T, K)
+        g[8] = jnp.where(k_valid, g[8], 0.0)
+        return jnp.stack(g, axis=1)                       # (T, 9, K)
+
+    def pack_flat(u):
+        params9 = jnp.concatenate(
+            [u, proj["conic"], colors, opac[:, None]], axis=1)
+        flat = params9.T.reshape(-1)                      # comp-major (9*N,)
+        pos = (jnp.arange(9, dtype=jnp.int32)[None, :, None] * N
+               + idx[:, None, :])                         # (T, 9, K)
+        g = flat[pos]
+        return g.at[:, 8, :].set(jnp.where(k_valid, g[:, 8, :], 0.0))
+
+    for name, fn in (("row-gather (current)", pack_row),
+                     ("9 component gathers", pack_comp),
+                     ("flattened comp-major gather", pack_flat)):
+        @jax.jit
+        def chain_f(u, fn=fn):
+            return u + fn(u)[0, 0, 0] * 1e-12
+        try:
+            timed_chain(chain_f, proj["uv"], label=f"pack fwd: {name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"pack fwd: {name} FAILED: {type(e).__name__}")
+
+        g = jax.grad(lambda u, fn=fn: jnp.sum(fn(u) ** 2))
+
+        @jax.jit
+        def chain_g(u, g=g):
+            return u + g(u) * 1e-12
+        try:
+            timed_chain(chain_g, proj["uv"], label=f"pack VJP: {name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"pack VJP: {name} FAILED: {type(e).__name__}")
+
+    # full composite VJP with each pack (end-to-end effect)
+    from omfs4d.render.pallas_kernels import composite_tiles
+
+    for name, fn in (("row-gather (current)", pack_row),
+                     ("9 component gathers", pack_comp)):
+        def loss(u, fn=fn):
+            col, alp = composite_tiles(fn(u), tile, grid_w, False)
+            return jnp.sum(col)
+
+        gfull = jax.grad(loss)
+
+        @jax.jit
+        def chain_full(u, gfull=gfull):
+            return u + gfull(u) * 1e-12
+        try:
+            timed_chain(chain_full, proj["uv"],
+                        label=f"composite full VJP: {name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"composite full VJP: {name} FAILED: {type(e).__name__}")
+
+
 if __name__ == "__main__":
     import sys as _s
     if len(_s.argv) > 1 and _s.argv[1] == "ab":
         grad_map_ab()
+    elif len(_s.argv) > 1 and _s.argv[1] == "pack":
+        pack_ab()
     else:
         main()
