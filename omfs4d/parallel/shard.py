@@ -33,11 +33,15 @@ def composite_tile_sharded(
     binning: TileBinning,
     width: int, height: int, tile: int,
     mesh: Mesh, axis: str,
+    use_pallas: bool = False,
 ):
     """Composite with the tile dimension sharded over `axis` of `mesh`.
 
     Gaussian parameters are replicated; each device composites its
-    contiguous slab of tiles and the image is all-gathered.
+    contiguous slab of tiles and the image is all-gathered.  With
+    `use_pallas` each shard runs the MXU composite kernel on its local
+    slab (the kernel takes the slab's first global tile id so pixel
+    coordinates stay global).
     """
     n_dev = mesh.shape[axis]
     grid_w = (width + tile - 1) // tile
@@ -49,6 +53,7 @@ def composite_tile_sharded(
     counts = jnp.pad(binning.tile_counts, (0, pad))
     pix = jnp.pad(_tile_pixel_centers(grid_w, grid_h, tile),
                   ((0, pad), (0, 0), (0, 0)))
+    local_t = (num_tiles + pad) // n_dev
 
     @functools.partial(
         shard_map,
@@ -58,6 +63,12 @@ def composite_tile_sharded(
         check_vma=False,
     )
     def _local(uv_, conic_, colors_, opacity_, lists_, counts_, pix_):
+        if use_pallas:
+            from omfs4d.render.pallas_kernels import composite_lists_pallas
+            base = jax.lax.axis_index(axis).astype(jnp.int32) * local_t
+            return composite_lists_pallas(uv_, conic_, colors_, opacity_,
+                                          lists_, counts_, tile, grid_w,
+                                          tile_base=base)
         return composite_tiles_xla(uv_, conic_, colors_, opacity_,
                                    lists_, counts_, pix_)
 
@@ -77,6 +88,7 @@ def rasterize_tile_sharded(
     tile: int = 16,
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 36,
+    use_pallas: bool = False,
 ):
     """Full single-frame rasterization spatially sharded over the mesh."""
     proj = project_gaussians(camera, means, rotations, scales)
@@ -87,7 +99,7 @@ def rasterize_tile_sharded(
     )
     img, alpha = composite_tile_sharded(
         proj["uv"], proj["conic"], colors, opacity, binning,
-        width, height, tile, mesh, axis,
+        width, height, tile, mesh, axis, use_pallas=use_pallas,
     )
     if background is None:
         background = jnp.ones((3,), jnp.float32)
@@ -131,6 +143,7 @@ def render_gaussian_sharded(
     max_tiles_per_gaussian: int = 36,
     slice_capacity_factor: float = 2.0,
     near: float = 0.01,
+    use_pallas: bool = False,
 ):
     """Rasterize with the gaussian axis sharded over `axis` of `mesh`.
 
@@ -213,10 +226,17 @@ def render_gaussian_sharded(
         }
         binning = bin_gaussians(proj_slice, opac, width, height, tile,
                                 max_per_tile, max_tiles_per_gaussian)
-        col_s, alp_s = composite_tiles_xla(
-            uv, conic, cols, opac,
-            binning.tile_lists, binning.tile_counts, pix,
-        )                                                     # (T, P, 3), (T, P)
+        if use_pallas:
+            # each device composites the FULL tile grid of its depth slice
+            from omfs4d.render.pallas_kernels import composite_lists_pallas
+            col_s, alp_s = composite_lists_pallas(
+                uv, conic, cols, opac,
+                binning.tile_lists, binning.tile_counts, tile, grid_w)
+        else:
+            col_s, alp_s = composite_tiles_xla(
+                uv, conic, cols, opac,
+                binning.tile_lists, binning.tile_counts, pix,
+            )                                                 # (T, P, 3), (T, P)
         trans_s = 1.0 - alp_s
 
         # depth-ordered merge of per-slice composites over the axis
@@ -251,10 +271,12 @@ def avatar_loss_gaussian_sharded(
     max_per_tile: int = 512,
     max_tiles_per_gaussian: int = 16,
     slice_capacity_factor: float = 2.0,
+    large_frac: float = 0.125,
     probe: jnp.ndarray | None = None,
     lambda_dssim: float = 0.0,
     return_aux: bool = False,
     data_axis: str | None = None,
+    use_pallas: bool = False,
 ):
     """Photometric loss of a mesh-bound avatar with the GAUSSIAN AXIS
     sharded over the device mesh — the model-parallel training path.
@@ -353,10 +375,17 @@ def avatar_loss_gaussian_sharded(
             "radius": ch[:, 10], "in_front": opac_r > 0,
         }
         binning = bin_gaussians(proj_slice, opac_r, width, height, tile,
-                                max_per_tile, max_tiles_per_gaussian)
-        col_s, alp_s = composite_tiles_xla(
-            uv, conic, cols_r, opac_r,
-            binning.tile_lists, binning.tile_counts, pix)
+                                max_per_tile, max_tiles_per_gaussian,
+                                large_frac=large_frac)
+        if use_pallas:
+            from omfs4d.render.pallas_kernels import composite_lists_pallas
+            col_s, alp_s = composite_lists_pallas(
+                uv, conic, cols_r, opac_r,
+                binning.tile_lists, binning.tile_counts, tile, grid_w)
+        else:
+            col_s, alp_s = composite_tiles_xla(
+                uv, conic, cols_r, opac_r,
+                binning.tile_lists, binning.tile_counts, pix)
         trans_s = 1.0 - alp_s
 
         all_col = jax.lax.all_gather(col_s, axis)
@@ -376,19 +405,26 @@ def avatar_loss_gaussian_sharded(
                         + lambda_dssim * dssim_loss(img, gt_))
         else:
             loss_val = l1
-        return loss_val, jax.lax.psum(binning.overflow, axis)
+        aux = {
+            "overflow": jax.lax.psum(binning.overflow, axis),
+            "window_clipped": jax.lax.psum(binning.window_clipped, axis),
+            "spilled": jax.lax.psum(binning.spilled, axis),
+        }
+        return loss_val, aux
+
+    aux_spec = {"overflow": P(), "window_clipped": P(), "spilled": P()}
 
     if data_axis is None:
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(g_specs, P(), P(), P(axis)),
-            out_specs=(P(), P()) if return_aux else P(),
+            out_specs=(P(), aux_spec) if return_aux else P(),
             check_vma=False,
         )
         def _loss(g_local, verts_, gt_, probe_local):
-            loss_val, overflow = _frame_loss(g_local, verts_, gt_,
-                                             probe_local, camera)
-            return (loss_val, overflow) if return_aux else loss_val
+            loss_val, aux = _frame_loss(g_local, verts_, gt_,
+                                        probe_local, camera)
+            return (loss_val, aux) if return_aux else loss_val
 
         return _loss(gaussians, verts, gt_image, probe)
 
@@ -401,17 +437,18 @@ def avatar_loss_gaussian_sharded(
         shard_map, mesh=mesh,
         in_specs=(g_specs, P(data_axis), P(data_axis), P(axis),
                   {k: P(data_axis) for k in cam_arrays}),
-        out_specs=(P(), P()) if return_aux else P(),
+        out_specs=(P(), aux_spec) if return_aux else P(),
         check_vma=False,
     )
     def _loss_2d(g_local, verts_b, gt_b, probe_local, cam_b):
         cam = Camera(w2c=cam_b["w2c"][0], fx=cam_b["fx"][0],
                      fy=cam_b["fy"][0], cx=cam_b["cx"][0], cy=cam_b["cy"][0],
                      width=width, height=height)
-        loss_val, overflow = _frame_loss(g_local, verts_b[0], gt_b[0],
-                                         probe_local, cam)
+        loss_val, aux = _frame_loss(g_local, verts_b[0], gt_b[0],
+                                    probe_local, cam)
         loss_val = jax.lax.pmean(loss_val, data_axis)
-        overflow = jax.lax.psum(overflow, data_axis)
-        return (loss_val, overflow) if return_aux else loss_val
+        aux = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, data_axis), aux)
+        return (loss_val, aux) if return_aux else loss_val
 
     return _loss_2d(gaussians, verts, gt_image, probe, cam_arrays)

@@ -37,6 +37,9 @@ from omfs4d.train.trainer import (
     densify_prune_arrays,
     float_fields,
     make_optimizer,
+    probe_tile_spans,
+    reset_opacity_opt_state,
+    size_binning_windows,
     with_floats,
 )
 
@@ -64,6 +67,7 @@ class ShardedAvatarTrainer:
         max_tiles_per_gaussian: int = 16,
         flame_model=None,
         data_axis: str | None = None,
+        use_pallas: str = "auto",
     ):
         """`flame_model` + cfg.optimize_flame: FLAME params (replicated —
         they are tiny next to the gaussian shards) are refined jointly; the
@@ -83,7 +87,10 @@ class ShardedAvatarTrainer:
         self.bg = (jnp.ones(3, jnp.float32) if white_background
                    else jnp.zeros(3, jnp.float32))
         self.render_opts = dict(tile=tile, max_per_tile=max_per_tile,
-                                max_tiles_per_gaussian=max_tiles_per_gaussian)
+                                max_tiles_per_gaussian=max_tiles_per_gaussian,
+                                large_frac=0.125)
+        self.use_pallas = (use_pallas == "always") or (
+            use_pallas == "auto" and jax.default_backend() == "tpu")
         self.optimizer = make_optimizer(cfg)
         self.flame_model = flame_model
         self.co_optimize = (bool(getattr(cfg, "optimize_flame", False))
@@ -199,16 +206,17 @@ class ShardedAvatarTrainer:
         def loss_fn(fp, flame_p, pr):
             gg = with_floats(g, fp)
             verts = frame_verts(flame_p)
-            loss, overflow = avatar_loss_gaussian_sharded(
+            loss, aux = avatar_loss_gaussian_sharded(
                 gg, verts, self.faces, cam, img,
                 mesh=self.mesh, axis=self.axis, background=self.bg,
                 probe=pr, lambda_dssim=cfg.lambda_dssim, return_aux=True,
-                data_axis=self.data_axis, **self.render_opts)
-            return loss, overflow
+                data_axis=self.data_axis, use_pallas=self.use_pallas,
+                **self.render_opts)
+            return loss, aux
 
         fp0 = float_fields(g)
         flame0 = state.flame_params if self.co_optimize else {}
-        (loss, overflow), (grads, flame_grads, probe_grad) = (
+        (loss, aux), (grads, flame_grads, probe_grad) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 fp0, flame0, probe))
 
@@ -235,11 +243,76 @@ class ShardedAvatarTrainer:
             flame_params=flame_p,
             flame_opt_state=flame_opt_state,
         )
-        return new_state, {"loss": loss, "overflow": overflow,
+        return new_state, {"loss": loss, "overflow": aux["overflow"],
+                           "window_clipped": aux["window_clipped"],
+                           "window_spilled": aux["spilled"],
                            "n_alive": new_state.gaussians.alive.sum()}
 
     def step(self, state: TrainState, data: dict, idx) -> tuple:
         return self._step_fn(state, data, jnp.asarray(idx, jnp.int32))
+
+    def _recompile_step_fns(self):
+        self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
+        self._chunk_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
+
+    # ── binning-window sizing (parity with AvatarTrainer) ────
+    MAX_TILE_WINDOW = 64
+    WINDOW_CHECK_EVERY = 50
+    WINDOW_CHECK_UNTIL = 500
+    _window_capped = False
+    _frac_capped = False
+
+    def preflight_tile_window(self, state: TrainState, data: dict,
+                              n_probe: int = 4) -> None:
+        """Size the binning windows from the initial cloud before the first
+        step compile (same rationale as AvatarTrainer.preflight_tile_window:
+        a mid-run escalation recompiles every step program)."""
+        sides, n_frames = probe_tile_spans(
+            state.gaussians, self.faces, data, self.width, self.height,
+            self.render_opts["tile"], n_probe)
+        updates = size_binning_windows(
+            sides, n_frames, self.render_opts,
+            int(state.gaussians.capacity), self.MAX_TILE_WINDOW)
+        if updates:
+            self.render_opts.update(updates)
+            log.info(f"[sharded] preflight binning windows: {updates}")
+            self._recompile_step_fns()
+
+    def grow_tile_window(self) -> bool:
+        cur = self.render_opts["max_tiles_per_gaussian"]
+        if cur >= self.MAX_TILE_WINDOW:
+            log.warning("[sharded] window_clipped pressure but "
+                        f"max_tiles_per_gaussian already at cap {cur}")
+            return False
+        self.render_opts["max_tiles_per_gaussian"] = cur * 2
+        log.info(f"[sharded] growing max_tiles_per_gaussian {cur} -> {cur*2}")
+        self._recompile_step_fns()
+        return True
+
+    def grow_large_frac(self) -> bool:
+        cur = self.render_opts["large_frac"]
+        if cur >= 1.0:
+            return False
+        self.render_opts["large_frac"] = min(1.0, cur * 2)
+        log.info(f"[sharded] growing binning large_frac {cur} -> "
+                 f"{self.render_opts['large_frac']}")
+        self._recompile_step_fns()
+        return True
+
+    # ── opacity reset (parity with AvatarTrainer) ────────────
+    def reset_opacity(self, state: TrainState) -> TrainState:
+        from omfs4d.models.gaussians import inverse_sigmoid
+
+        cap = inverse_sigmoid(0.01)
+        g = state.gaussians._replace(
+            opacity_logit=jnp.minimum(state.gaussians.opacity_logit, cap))
+        # moment surgery on the OPACITY group only; the optax tree is
+        # elementwise over the (sharded) gaussian axis so the splice
+        # preserves shardings
+        return state._replace(
+            gaussians=g,
+            opt_state=reset_opacity_opt_state(
+                self.optimizer, state.opt_state, float_fields(g)))
 
     def _train_chunk(self, state: TrainState, data: dict, idxs: jnp.ndarray):
         """`idxs` (C,) or (C, B) -> C steps as one device program (same
@@ -331,6 +404,8 @@ class ShardedAvatarTrainer:
         densify_until = int(iterations * cfg.densify_until_frac)
         save_iters = sorted({max(iterations // 4, 1),
                              max(iterations // 2, 1), iterations})
+        if start_iteration == 0:
+            self.preflight_tile_window(state, data)
 
         def draw():
             return (rng.integers(0, T, size=(self.batch,))
@@ -359,14 +434,23 @@ class ShardedAvatarTrainer:
 
         it = start_iteration
         while it < iterations:
+            window_live = not (self._window_capped and self._frac_capped)
             cands = [iterations]
             if log_every:
                 cands.append((it // log_every + 1) * log_every)
+            if window_live and it < self.WINDOW_CHECK_UNTIL:
+                cands.append((it // self.WINDOW_CHECK_EVERY + 1)
+                             * self.WINDOW_CHECK_EVERY)
             if cfg.densify_interval > 0 and it < densify_until:
                 cands.append((it // cfg.densify_interval + 1)
                              * cfg.densify_interval)
+            if cfg.opacity_reset_interval > 0 and it < densify_until:
+                cands.append((it // cfg.opacity_reset_interval + 1)
+                             * cfg.opacity_reset_interval)
             cands.extend(s for s in save_iters if s > it)
             target = min(c for c in cands if c > it)
+            if window_live and it < self.WINDOW_CHECK_EVERY:
+                target = it + 1     # init cloud has the largest gaussians
 
             metrics = None
             while it < target:
@@ -375,8 +459,24 @@ class ShardedAvatarTrainer:
                     state, metrics = self.step(state, data, draw_chunk(1)[0])
                 else:
                     state, ms = self._chunk_fn(state, data, draw_chunk(n))
-                    metrics = {k: v[-1] for k, v in ms.items()}
+                    metrics = {
+                        k: (jnp.max(v) if k in ("window_clipped",
+                                                "window_spilled")
+                            else v[-1])
+                        for k, v in ms.items()}
                 it += n
+
+            if window_live and (it <= self.WINDOW_CHECK_UNTIL
+                                or it % log_every == 0 or it == iterations):
+                clipped = float(metrics["window_clipped"])
+                spilled = float(metrics["window_spilled"])
+                alive = float(metrics["n_alive"])
+                if spilled / max(alive, 1.0) > 0.02 and not self._frac_capped:
+                    if not self.grow_large_frac():
+                        self._frac_capped = True
+                if clipped / max(alive, 1.0) > 0.02 and not self._window_capped:
+                    if not self.grow_tile_window():
+                        self._window_capped = True
 
             if it % log_every == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -389,20 +489,90 @@ class ShardedAvatarTrainer:
                     and it % cfg.densify_interval == 0):
                 key, sub = jax.random.split(key)
                 state = self.densify(state, sub)
+            if (cfg.opacity_reset_interval > 0
+                    and it % cfg.opacity_reset_interval == 0
+                    and it < densify_until):
+                state = self.reset_opacity(state)
             if output_dir is not None and it in save_iters:
                 self.save_checkpoint(state, output_dir, it)
         return state
 
     def save_checkpoint(self, state: TrainState, output_dir, iteration: int):
-        """Same artifact layout as AvatarTrainer (point_cloud PLY + orbax);
-        sharded arrays are fully addressable on one process, so the host
-        gather is implicit."""
+        """Same artifact layout as AvatarTrainer (point_cloud PLY + orbax +
+        meta json); sharded arrays are fully addressable on one process, so
+        the host gather is implicit."""
+        import json
+
         from omfs4d.train.checkpoints import export_point_cloud, save_state
         from pathlib import Path
 
         out = Path(output_dir)
-        save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        ckpt = save_state(out / "checkpoints" / f"iter_{iteration:07d}", state)
+        meta = {
+            "iteration": iteration,
+            "capacity": int(state.gaussians.capacity),
+            "max_tiles_per_gaussian":
+                self.render_opts["max_tiles_per_gaussian"],
+            "large_frac": self.render_opts["large_frac"],
+            "max_per_tile": self.render_opts["max_per_tile"],
+        }
+        (ckpt.parent / f"iter_{iteration:07d}_meta.json").write_text(
+            json.dumps(meta))
         export_point_cloud(
             out / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
             jax.tree_util.tree_map(np.asarray, state.gaussians))
         log.info(f"[sharded] checkpoint saved at iteration {iteration}")
+
+    def restore_checkpoint(self, output_dir,
+                           template: TrainState) -> tuple[TrainState, int]:
+        """Restore the newest checkpoint and re-shard it over the mesh.
+
+        Capacity must match the mesh divisibility; a checkpoint written by
+        the replicated AvatarTrainer restores fine as long as its capacity
+        divides the gauss axis (the state trees are identical)."""
+        import json
+
+        from omfs4d.train.checkpoints import latest_checkpoint, restore_state
+
+        found = latest_checkpoint(output_dir)
+        if found is None:
+            raise FileNotFoundError(
+                f"no checkpoints/iter_* under {output_dir}")
+        path, it = found
+        meta_file = path.parent / f"{path.name}_meta.json"
+        meta = (json.loads(meta_file.read_text())
+                if meta_file.exists() else {})
+        from omfs4d.train.trainer import AvatarTrainer
+
+        saved_cap = int(meta.get("capacity", template.gaussians.capacity))
+        if saved_cap % self.n_dev:
+            raise ValueError(
+                f"checkpoint capacity {saved_cap} not divisible by mesh "
+                f"axis {self.axis}={self.n_dev}")
+        template = AvatarTrainer.resize_state_capacity(template, saved_cap)
+        state = restore_state(path, template=template)
+        # flame params are replicated explicitly (the _shardings capacity
+        # heuristic must never row-shard a (T, ...) leaf)
+        flame = (state.flame_params, state.flame_opt_state)
+        core = state._replace(flame_params=None, flame_opt_state=None)
+        state = jax.device_put(core, self._shardings(core))
+        if flame[0] is not None:
+            rep = NamedSharding(self.mesh, P())
+            state = state._replace(
+                flame_params=jax.tree_util.tree_map(
+                    lambda v: jax.device_put(jnp.asarray(v), rep), flame[0]),
+                flame_opt_state=jax.tree_util.tree_map(
+                    lambda v: jax.device_put(jnp.asarray(v), rep), flame[1])
+                if flame[1] is not None else None)
+        want = int(meta.get("max_tiles_per_gaussian",
+                            self.render_opts["max_tiles_per_gaussian"]))
+        while self.render_opts["max_tiles_per_gaussian"] < want:
+            if not self.grow_tile_window():
+                break
+        want_frac = float(meta.get("large_frac",
+                                   self.render_opts["large_frac"]))
+        while self.render_opts["large_frac"] < want_frac:
+            if not self.grow_large_frac():
+                break
+        log.info(f"[sharded] resumed from checkpoint iter {it} ({path})")
+        return state, it

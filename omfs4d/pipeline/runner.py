@@ -268,6 +268,7 @@ class Pipeline:
                 white_background=cfg.render.white_background,
                 tile=cfg.render.tile,
                 max_per_tile=cfg.render.max_per_tile,
+                use_pallas=cfg.render.use_pallas,
                 flame_model=self.model if cfg.train.optimize_flame else None,
                 data_axis="data" if n_data > 1 else None,
             )
@@ -331,18 +332,15 @@ class Pipeline:
         start_iter = 0
         if resume:
             # continue a killed run from its newest checkpoint (ref lineage:
-            # train_ghost.py:141-156 over GA's chkpnt*.pth)
-            if cfg.parallel.n_gauss > 1:
-                log.warning("resume is not supported on the gaussian-sharded "
-                            "trainer yet; starting fresh")
-            else:
-                try:
-                    state, start_iter = trainer.restore_checkpoint(
-                        output_dir, template=state)
-                    self.events.emit("train_resume", iteration=start_iter)
-                except FileNotFoundError:
-                    log.info("resume requested but no checkpoint exists; "
-                             "starting fresh")
+            # train_ghost.py:141-156 over GA's chkpnt*.pth); both trainers
+            # implement the same restore_checkpoint surface
+            try:
+                state, start_iter = trainer.restore_checkpoint(
+                    output_dir, template=state)
+                self.events.emit("train_resume", iteration=start_iter)
+            except FileNotFoundError:
+                log.info("resume requested but no checkpoint exists; "
+                         "starting fresh")
         with stage_timer("train", self.events):
             state = trainer.train(data, iterations=iterations, state=state,
                                   output_dir=output_dir, events=self.events,

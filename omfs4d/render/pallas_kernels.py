@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,11 +99,23 @@ K_SMALL = 128   # smallest occupancy level: K^2 matmul work drops 16x
 
 _BLOCK = 128    # prefix/suffix matmul block (one lane tile)
 
+# Opt-in: run the triangular prefix/suffix matmuls with bf16 operands
+# (f32 accumulation).  MXU bf16 rate is 4x f32 on v5e, but the matmuls are
+# a minority of kernel time (VPU alpha/exp dominates) and bf16 lg loses
+# ~0.4% relative per term — measured perf + e2e dB before any default flip.
+import os
+
+BF16_MATMUL = os.environ.get("OMFS4D_COMPOSITE_BF16", "0") == "1"
+
+
+def _mm(x):
+    return x.astype(jnp.bfloat16) if BF16_MATMUL else x
+
 
 def _strict_upper(b: int) -> jnp.ndarray:
     row = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    return (row < col).astype(jnp.float32)
+    return _mm((row < col).astype(jnp.float32))
 
 
 def _excl_prefix(lg: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -113,7 +126,7 @@ def _excl_prefix(lg: jnp.ndarray, k: int) -> jnp.ndarray:
     at B=128 with a running (P, 1) carry is O(P k B): 4x fewer FLOPs at
     K=512, exact same f32 math modulo sum reassociation."""
     if k <= _BLOCK or k % _BLOCK:
-        return jnp.dot(lg, _strict_upper(k),
+        return jnp.dot(_mm(lg), _strict_upper(k),
                        preferred_element_type=jnp.float32)
     P = lg.shape[0]
     nb = k // _BLOCK
@@ -123,7 +136,7 @@ def _excl_prefix(lg: jnp.ndarray, k: int) -> jnp.ndarray:
     for b in range(nb):
         blk = lg[:, b * _BLOCK:(b + 1) * _BLOCK]
         outs.append(
-            jnp.dot(blk, u, preferred_element_type=jnp.float32) + base)
+            jnp.dot(_mm(blk), u, preferred_element_type=jnp.float32) + base)
         if b + 1 < nb:
             base = base + jnp.sum(blk, axis=1, keepdims=True)
     return jnp.concatenate(outs, axis=1)
@@ -133,7 +146,7 @@ def _suffix_sum(m: jnp.ndarray, k: int) -> jnp.ndarray:
     """suffix[p, j] = sum_{i>j} m[p, i] — blocked, scanned from the right."""
     def tri(blk, b):
         return jax.lax.dot_general(
-            blk, _strict_upper(b),
+            _mm(blk), _strict_upper(b),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -184,11 +197,13 @@ def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
     alpha_out_ref[0] = (1.0 - jnp.exp(s_total)).reshape(1, P)
 
 
-def _fwd_kernel(packed_ref, color_out_ref, alpha_out_ref,
+def _fwd_kernel(base_ref, packed_ref, color_out_ref, alpha_out_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
     P = tile * tile
-    tid = pl.program_id(0)
+    # `base` offsets the global tile id: sharded callers composite a
+    # contiguous slab of tiles starting at axis_index * local_T
+    tid = pl.program_id(0) + base_ref[0]
 
     opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
     # background tiles (no live gaussian) skip all MXU work; lists are
@@ -278,10 +293,10 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
                 [dp, jnp.zeros((N_ROWS, K - k), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
+def _bwd_kernel(base_ref, packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
                 *, tile: int, grid_w: int, K: int):
     packed = packed_ref[0]                            # (16, K)
-    tid = pl.program_id(0)
+    tid = pl.program_id(0) + base_ref[0]
 
     opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
     empty = jnp.max(opac_row) <= 0.0
@@ -307,7 +322,7 @@ def _bwd_kernel(packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
                   tile, grid_w, K, K, tid)
 
 
-def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):
+def _call_fwd(packed, base, tile: int, grid_w: int, interpret: bool):
     T, _, K = packed.shape
     P = tile * tile
     grid = (T,)
@@ -315,6 +330,7 @@ def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):
         functools.partial(_fwd_kernel, tile=tile, grid_w=grid_w, K=K),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -326,16 +342,17 @@ def _call_fwd(packed, tile: int, grid_w: int, interpret: bool):
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(packed)
+    )(base, packed)
 
 
-def _call_bwd(packed, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
+def _call_bwd(packed, base, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
     T, _, K = packed.shape
     P = tile * tile
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tile=tile, grid_w=grid_w, K=K),
         grid=(T,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -343,28 +360,81 @@ def _call_bwd(packed, dcol, dalpha, tile: int, grid_w: int, interpret: bool):
         out_specs=pl.BlockSpec((1, N_ROWS, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, N_ROWS, K), jnp.float32),
         interpret=interpret,
-    )(packed, dcol, dalpha)
+    )(base, packed, dcol, dalpha)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def composite_tiles(packed, tile: int, grid_w: int, interpret: bool):
-    """(T, 16, K) packed params -> ((T, 3, P), (T, 1, P))."""
-    return _call_fwd(packed, tile, grid_w, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_tiles(packed, base, tile: int, grid_w: int, interpret: bool):
+    """(T, 9, K) packed params (+ (1,) int32 global-tile-id base) ->
+    ((T, 3, P), (T, 1, P))."""
+    return _call_fwd(packed, base, tile, grid_w, interpret)
 
 
-def _composite_fwd(packed, tile, grid_w, interpret):
-    out = _call_fwd(packed, tile, grid_w, interpret)
-    return out, (packed,)
+def _composite_fwd(packed, base, tile, grid_w, interpret):
+    out = _call_fwd(packed, base, tile, grid_w, interpret)
+    return out, (packed, base)
 
 
 def _composite_bwd(tile, grid_w, interpret, res, cot):
-    (packed,) = res
+    packed, base = res
     dcol, dalpha = cot
-    dpacked = _call_bwd(packed, dcol, dalpha, tile, grid_w, interpret)
-    return (dpacked,)
+    dpacked = _call_bwd(packed, base, dcol, dalpha, tile, grid_w, interpret)
+    # int operands take a float0 cotangent
+    dbase = np.zeros(base.shape, jax.dtypes.float0)
+    return (dpacked, dbase)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+def _zero_base():
+    return jnp.zeros((1,), jnp.int32)
+
+
+def _gather_packed(params9, lists):
+    """(N, 9) table + (T, K) per-tile indices -> (T, 9, K) packed params.
+
+    One plain XLA row gather; XLA derives its transpose as ONE row
+    scatter-add into the (N, 9) table.  Tried and REVERTED (round 4): a
+    custom VJP doing 9 component-wise 1-D scatter-adds measured 2.6 ms vs
+    4.4 ms for the row scatter in a chained MICRObenchmark, but in the full
+    train-step graph it HALVED throughput (58 -> 32 it/s on chip) — the
+    in-graph row scatter overlaps with the Pallas bwd kernel's compute,
+    while the 9 separate scatters serialize.  Chained isolation benches do
+    not see cross-op overlap; only bench.py verdicts count for this op."""
+    return jnp.swapaxes(params9[lists], 1, 2)
+
+
+def _pack_lists(uv, conic, colors, opacity, lists, counts):
+    """Gather the (T, 9, K) packed per-tile parameter table.
+
+    Validity is baked into the opacity row: entries past the per-tile count
+    get 0, making their alpha exactly 0 in-kernel (no SMEM counts needed)."""
+    K = lists.shape[1]
+    params9 = jnp.concatenate(
+        [uv, conic, colors, opacity[:, None]], axis=1)   # (N, 9)
+    packed = _gather_packed(params9, lists)               # (T, 9, K)
+    k_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    opac_row = jnp.where(k_valid, packed[:, ROW_OPAC, :], 0.0)
+    return jnp.concatenate(
+        [packed[:, :ROW_OPAC, :], opac_row[:, None, :]], axis=1)
+
+
+def composite_lists_pallas(uv, conic, colors, opacity, lists, counts,
+                           tile: int, grid_w: int, tile_base=None,
+                           interpret: bool | None = None):
+    """Pallas composite over an arbitrary contiguous tile slab.
+
+    Drop-in for `composite_tiles_xla` (same ((T, P, 3), (T, P)) outputs) so
+    the sharded render paths (parallel.shard) can run the MXU kernel per
+    shard: `tile_base` is the slab's first GLOBAL tile id (traced; e.g.
+    axis_index * local_T inside shard_map), defaulting to 0."""
+    packed = _pack_lists(uv, conic, colors, opacity, lists, counts)
+    base = (_zero_base() if tile_base is None
+            else jnp.asarray(tile_base, jnp.int32).reshape(1))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    col, alp = composite_tiles(packed, base, tile, grid_w, interpret)
+    return jnp.swapaxes(col, 1, 2), alp[:, 0, :]
 
 
 def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16):
@@ -377,25 +447,11 @@ def composite_pallas(uv, conic, colors, opacity, binning, width, height, tile=16
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
     num_tiles = grid_w * grid_h
-    idx = binning.tile_lists                          # (T, K)
-    T, K = idx.shape
-    P = tile * tile
-
-    # single fused (N, 9) parameter table -> one plain XLA gather.  Its
-    # transpose is a scatter-add, which measures ~1 ms at this scale on
-    # current TPU toolchains — faster than any sorted segment reduction.
-    params9 = jnp.concatenate(
-        [uv, conic, colors, opacity[:, None]], axis=1)   # (N, 9)
-    g9 = params9[idx]                                    # (T, K, 9)
-    # validity baked into opacity: entries past the per-tile count get 0,
-    # which makes their alpha exactly 0 in-kernel (no SMEM counts needed)
-    k_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < binning.tile_counts[:, None]
-    g9 = jnp.concatenate(
-        [g9[..., :8], jnp.where(k_valid, g9[..., 8], 0.0)[..., None]], axis=-1)
-    packed = jnp.swapaxes(g9, 1, 2)                      # (T, 9, K)
+    packed = _pack_lists(uv, conic, colors, opacity,
+                         binning.tile_lists, binning.tile_counts)
 
     interpret = jax.default_backend() != "tpu"
-    col, alp = composite_tiles(packed, tile, grid_w, interpret)
+    col, alp = composite_tiles(packed, _zero_base(), tile, grid_w, interpret)
 
     img = col.reshape(grid_h, grid_w, 3, tile, tile)
     img = img.transpose(0, 3, 1, 4, 2).reshape(grid_h * tile, grid_w * tile, 3)

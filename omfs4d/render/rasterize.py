@@ -274,11 +274,12 @@ def composite_tiles_xla(
 
 
 def assemble_tiles(colors_out, alphas_out, width, height, tile):
-    """(T, P, ...) per-tile results -> (H, W, ...) image."""
+    """(T, P, C) per-tile results -> (H, W, C) image (any channel count)."""
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
-    img = colors_out.reshape(grid_h, grid_w, tile, tile, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_h * tile, grid_w * tile, 3)
+    C = colors_out.shape[-1]
+    img = colors_out.reshape(grid_h, grid_w, tile, tile, C)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(grid_h * tile, grid_w * tile, C)
     alp = alphas_out.reshape(grid_h, grid_w, tile, tile)
     alp = alp.transpose(0, 2, 1, 3).reshape(grid_h * tile, grid_w * tile)
     return img[:height, :width], alp[:height, :width]

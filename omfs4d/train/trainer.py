@@ -215,6 +215,91 @@ def zero_opt_rows(opt_state, slots: jnp.ndarray, ok: jnp.ndarray, capacity: int)
     return jax.tree_util.tree_map(fix, opt_state)
 
 
+def probe_tile_spans(gaussians, faces, data: dict, width: int, height: int,
+                     tile: int, n_probe: int = 4) -> np.ndarray:
+    """Visible per-gaussian tile-span sides over `n_probe` sampled frames.
+
+    The span side is the exact `fits` criterion bin_gaussians clips on;
+    shared by AvatarTrainer and ShardedAvatarTrainer preflights."""
+    W, H = width, height
+    grid_w = (W + tile - 1) // tile
+    grid_h = (H + tile - 1) // tile
+    faces = jnp.asarray(faces, jnp.int32)
+
+    def spans_one(g, verts, w2c, fx, fy, cx, cy):
+        cam = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+        means, rot, scales, opac, _ = bind_to_mesh(g, verts, faces)
+        proj = project_gaussians(cam, means, rot, scales)
+        uv, radius = proj["uv"], proj["radius"]
+        from omfs4d.render.rasterize import ALPHA_CUTOFF
+        visible = (
+            proj["in_front"] & (radius > 0) & (opac > ALPHA_CUTOFF)
+            & (uv[:, 0] + radius > 0) & (uv[:, 0] - radius < W)
+            & (uv[:, 1] + radius > 0) & (uv[:, 1] - radius < H)
+        )
+        x0 = jnp.clip(jnp.floor((uv[:, 0] - radius) / tile), 0, grid_w - 1)
+        x1 = jnp.clip(jnp.floor((uv[:, 0] + radius) / tile), 0, grid_w - 1)
+        y0 = jnp.clip(jnp.floor((uv[:, 1] - radius) / tile), 0, grid_h - 1)
+        y1 = jnp.clip(jnp.floor((uv[:, 1] + radius) / tile), 0, grid_h - 1)
+        side = jnp.maximum(x1 - x0, y1 - y0) + 1.0
+        return jnp.where(visible, side, 0.0)
+
+    T = data["verts"].shape[0]
+    probe_idx = np.unique(np.linspace(0, T - 1, min(n_probe, T)).astype(int))
+    probe_fn = jax.jit(spans_one)
+    sides = []
+    for i in probe_idx:
+        sides.append(np.asarray(probe_fn(
+            gaussians, data["verts"][i], data["w2c"][i],
+            data["fx"][i], data["fy"][i], data["cx"][i], data["cy"][i])))
+    return np.concatenate(sides), len(probe_idx)
+
+
+def size_binning_windows(sides: np.ndarray, n_frames: int, render_cfg: dict,
+                         capacity: int, max_window: int) -> dict:
+    """Binning-window updates from probed spans (empty dict = no change).
+
+    * max_tiles_per_gaussian = side^2 at the 99.8th percentile of visible
+      spans (clipped to [current, max_window]) — rare outliers stay clipped
+      rather than inflating every large-class gaussian's pair count;
+    * large_frac sized so the large-class budget covers 4x the gaussians
+      that outgrow the small window (densification splits ADD large
+      gaussians as alive grows; a 2x margin measured a mid-run spill regrow
+      = a ~150 s recompile of every step program)."""
+    vis = sides[sides > 0]
+    if vis.size == 0:
+        return {}
+    small_side = max(int(round(
+        render_cfg.get("small_tiles_per_gaussian", 4) ** 0.5)), 1)
+    side_needed = int(np.ceil(np.percentile(vis, 99.8)))
+    max_side = int(round(max_window ** 0.5))
+    cur_side = int(round(render_cfg["max_tiles_per_gaussian"] ** 0.5))
+    side = int(np.clip(side_needed, cur_side, max_side))
+    n_large = int((vis > small_side).sum()) // max(n_frames, 1)
+    frac_needed = min(4.0 * n_large / max(capacity, 1), 1.0)
+    updates = {}
+    if side * side > render_cfg["max_tiles_per_gaussian"]:
+        updates["max_tiles_per_gaussian"] = side * side
+    if frac_needed > render_cfg.get("large_frac", 0.125):
+        updates["large_frac"] = frac_needed
+    return updates
+
+
+def reset_opacity_opt_state(optimizer, opt_state, params):
+    """Fresh Adam state for the OPACITY group only (moment surgery).
+
+    Mirrors CUDA 3DGS `replace_tensor_to_optimizer` after `reset_opacity`:
+    the opacity tensor's exp_avg/exp_avg_sq are zeroed (its history predates
+    the reset) while every other parameter keeps its warmed-up moments.
+    Shared by AvatarTrainer and ShardedAvatarTrainer (the optax state tree
+    is elementwise over the gaussian axis, so the same splice is valid on a
+    shard-local state)."""
+    fresh = optimizer.init(params)
+    inner = dict(opt_state.inner_states)
+    inner["opac"] = fresh.inner_states["opac"]
+    return type(opt_state)(inner_states=inner)
+
+
 class AvatarTrainer:
     """Owns the jitted step/densify functions and the training loop."""
 
@@ -508,69 +593,18 @@ class AvatarTrainer:
           * large_frac so the large-class budget covers 2x the gaussians
             that outgrow the small window.
         """
-        T = data["verts"].shape[0]
-        tile = self.render_cfg["tile"]
-        grid_w = (self.width + tile - 1) // tile
-        grid_h = (self.height + tile - 1) // tile
-        small_side = max(int(round(
-            self.render_cfg["small_tiles_per_gaussian"] ** 0.5)), 1)
-
-        def spans_one(g, verts, w2c, fx, fy, cx, cy):
-            cam = Camera(w2c=w2c, fx=fx, fy=fy, cx=cx, cy=cy,
-                         width=self.width, height=self.height)
-            means, rot, scales, opac, _ = bind_to_mesh(g, verts, self.faces)
-            proj = project_gaussians(cam, means, rot, scales)
-            uv, radius = proj["uv"], proj["radius"]
-            from omfs4d.render.rasterize import ALPHA_CUTOFF
-            visible = (
-                proj["in_front"] & (radius > 0) & (opac > ALPHA_CUTOFF)
-                & (uv[:, 0] + radius > 0) & (uv[:, 0] - radius < self.width)
-                & (uv[:, 1] + radius > 0) & (uv[:, 1] - radius < self.height)
-            )
-            x0 = jnp.clip(jnp.floor((uv[:, 0] - radius) / tile), 0, grid_w - 1)
-            x1 = jnp.clip(jnp.floor((uv[:, 0] + radius) / tile), 0, grid_w - 1)
-            y0 = jnp.clip(jnp.floor((uv[:, 1] - radius) / tile), 0, grid_h - 1)
-            y1 = jnp.clip(jnp.floor((uv[:, 1] + radius) / tile), 0, grid_h - 1)
-            side = jnp.maximum(x1 - x0, y1 - y0) + 1.0
-            return jnp.where(visible, side, 0.0)
-
-        probe_idx = np.unique(
-            np.linspace(0, T - 1, min(n_probe, T)).astype(int))
-        probe_fn = jax.jit(spans_one)
-        sides = []
-        for i in probe_idx:
-            sides.append(np.asarray(probe_fn(
-                state.gaussians, data["verts"][i], data["w2c"][i],
-                data["fx"][i], data["fy"][i], data["cx"][i], data["cy"][i])))
-        sides = np.concatenate(sides)
-        vis = sides[sides > 0]
-        if vis.size == 0:
-            return
-        side_needed = int(np.ceil(np.percentile(vis, 99.8)))
-        max_side = int(round(self.MAX_TILE_WINDOW ** 0.5))
-        cur_side = int(round(
-            self.render_cfg["max_tiles_per_gaussian"] ** 0.5))
-        side = int(np.clip(side_needed, cur_side, max_side))
-        n_large = int((vis > small_side).sum()) // len(probe_idx)
-        capacity = int(state.gaussians.capacity)
-        # 4x margin: densification splits ADD large gaussians as alive grows
-        # (a 2x margin measured a mid-run spill regrow at iter ~2100 on the
-        # 512^2 case — a ~150 s recompile of every step program; the wider
-        # budget costs only ~1 ms of extra sort pairs per step)
-        frac_needed = min(4.0 * n_large / max(capacity, 1), 1.0)
-        changed = False
-        if side * side > self.render_cfg["max_tiles_per_gaussian"]:
-            self.render_cfg["max_tiles_per_gaussian"] = side * side
-            changed = True
-        if frac_needed > self.render_cfg["large_frac"]:
-            self.render_cfg["large_frac"] = frac_needed
-            changed = True
-        if changed:
+        sides, n_frames = probe_tile_spans(
+            state.gaussians, self.faces, data, self.width, self.height,
+            self.render_cfg["tile"], n_probe)
+        updates = size_binning_windows(
+            sides, n_frames, self.render_cfg,
+            int(state.gaussians.capacity), self.MAX_TILE_WINDOW)
+        if updates:
+            self.render_cfg.update(updates)
             log.info(
                 f"preflight binning windows: max_tiles_per_gaussian="
                 f"{self.render_cfg['max_tiles_per_gaussian']} "
-                f"large_frac={self.render_cfg['large_frac']:.3f} "
-                f"(p99.8 span side {side_needed}, {n_large} large at init)")
+                f"large_frac={self.render_cfg['large_frac']:.3f}")
             self._recompile_step_fns()
 
     def _recompile_step_fns(self):
@@ -671,8 +705,15 @@ class AvatarTrainer:
         g = state.gaussians._replace(
             opacity_logit=jnp.minimum(state.gaussians.opacity_logit, cap)
         )
-        return state._replace(gaussians=g,
-                              opt_state=self.optimizer.init(float_fields(g)))
+        # CUDA 3DGS resets ONLY the opacity tensor's Adam moments
+        # (GaussianModel.reset_opacity -> replace_tensor_to_optimizer);
+        # re-initializing the whole optimizer — the old behavior here —
+        # throws away warmup for every parameter at opacity_reset_interval
+        # cadence, the same bug class _densify_prune fixed for densification
+        return state._replace(
+            gaussians=g,
+            opt_state=reset_opacity_opt_state(
+                self.optimizer, state.opt_state, float_fields(g)))
 
     # ── full loop ────────────────────────────────────────────
     def train(

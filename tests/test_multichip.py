@@ -24,6 +24,16 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_multiprocess_spmd_train(tmp_path):
+    """Multi-HOST readiness (SURVEY §2.3 DCN plan): two OS processes with
+    gloo CPU collectives form one 8-device mesh; each process loads only
+    its own frames and the frame-DP train step runs SPMD across the
+    process boundary with identical replicated losses."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multiprocess(n_processes=2, local_devices=4, port=12961)
+
+
 @pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
 def test_dp_gradients_match_single_device():
     """DP-sharded training step must equal the replicated step numerically."""
@@ -434,6 +444,225 @@ def test_2d_data_gauss_sharded_trainer():
     jaw = np.asarray(sf.flame_params["jaw_pose"][:, 0])
     assert np.isfinite(float(mf["loss"]))
     assert (np.abs(jaw) < 0.3 - 1e-3).all(), jaw
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_tile_sharded_pallas_matches_xla():
+    """composite_tile_sharded with the Pallas kernel (per-shard tile slab,
+    global-tile-id base offset) must match the XLA composite."""
+    from jax.sharding import Mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.shard import rasterize_tile_sharded
+    from tests.test_rasterize import random_scene
+
+    cam = look_at_camera(eye=(0, 0, -2.5), target=(0, 0, 0), fx=200.0,
+                         width=64, height=64)
+    means, rot, scales, opacity, colors = random_scene(80, seed=5)
+    args = tuple(jnp.asarray(a) for a in (means, rot, scales, opacity, colors))
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("tile",))
+
+    img_x, aux_x = jax.jit(
+        lambda *a: rasterize_tile_sharded(*a, cam, 64, 64, mesh=mesh,
+                                          max_per_tile=128, use_pallas=False)
+    )(*args)
+    img_p, aux_p = jax.jit(
+        lambda *a: rasterize_tile_sharded(*a, cam, 64, 64, mesh=mesh,
+                                          max_per_tile=128, use_pallas=True)
+    )(*args)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_p["alpha"]),
+                               np.asarray(aux_x["alpha"]), atol=1e-5)
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_gaussian_sharded_loss_pallas_matches_xla():
+    """avatar_loss_gaussian_sharded(use_pallas=True): loss AND gradients
+    must match the XLA composite path (the Pallas custom VJP rides inside
+    the shard_map transpose)."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.shard import avatar_loss_gaussian_sharded
+    from omfs4d.train.trainer import float_fields, with_floats
+    from omfs4d.io.synthetic import textured_gt_avatar
+
+    S = 32
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    g = textured_gt_avatar(model, capacity=796)
+    cap4 = (g.capacity // 4) * 4
+    g = jax.tree_util.tree_map(lambda a: a[:cap4], g)
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((1, 100))})[0]
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0, 1, (S, S, 3)), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+
+    def make_loss(use_pallas):
+        def loss(fp):
+            gg = with_floats(g, fp)
+            return avatar_loss_gaussian_sharded(
+                gg, verts, model.faces, cam, gt, mesh=mesh,
+                max_per_tile=256, use_pallas=use_pallas)
+        return loss
+
+    l_x, g_x = jax.jit(jax.value_and_grad(make_loss(False)))(float_fields(g))
+    l_p, g_p = jax.jit(jax.value_and_grad(make_loss(True)))(float_fields(g))
+    assert abs(float(l_x) - float(l_p)) < 1e-5
+    for k in g_x:
+        a, b = np.asarray(g_x[k]), np.asarray(g_p[k])
+        scale = max(np.abs(a).max(), 1e-5)
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=f"grad mismatch: {k}")
+
+
+def _tiny_scene(S=32, T=1):
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((T, 100))})
+    gt_avatar = textured_gt_avatar(model)
+    images = np.stack([
+        (np.clip(np.asarray(render_avatar_frame(
+            gt_avatar, verts[i], model.faces, cam, S, S, backend="never",
+            max_per_tile=512)[0]), 0, 1) * 255).astype(np.uint8)
+        for i in range(T)
+    ])
+    data = {
+        "images": jnp.asarray(images),
+        "verts": jnp.asarray(verts),
+        "w2c": jnp.tile(jnp.asarray(np.asarray(cam.w2c))[None], (T, 1, 1)),
+        "fx": jnp.full((T,), cam.fx), "fy": jnp.full((T,), cam.fy),
+        "cx": jnp.full((T,), cam.cx), "cy": jnp.full((T,), cam.cy),
+    }
+    return model, cam, data
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_sharded_trainer_densify_reset_resume_cycle(tmp_path):
+    """VERDICT r3 item 2: the sharded trainer must survive a full
+    densify + opacity-reset + checkpoint + kill-and-resume cycle, with the
+    resumed run matching the uninterrupted one exactly and the opacity
+    reset doing moment surgery (not a full optimizer reinit)."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.gaussians import init_gaussians_on_mesh, inverse_sigmoid
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+
+    S = 32
+    model, cam, data = _tiny_scene(S)
+    cfg = TrainConfig(iterations=60, densify_from=5, densify_interval=20,
+                      densify_until_frac=0.9, opacity_reset_interval=25,
+                      max_gaussians=1024, batch_frames=1, sh_degree=1,
+                      densify_grad_threshold=1e-6)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+
+    def make():
+        t = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                 mesh=mesh, max_per_tile=256,
+                                 use_pallas="never")
+        g0 = init_gaussians_on_mesh(np.asarray(model.faces), 1024, seed=0,
+                                    sh_degree=1)
+        return t, t.init_state(gaussians=g0)
+
+    out = tmp_path / "sharded_run"
+    t_a, s_a = make()
+    s_full = t_a.train(data, iterations=60, state=s_a, output_dir=out,
+                       rng_seed=7, log_every=1000)
+
+    # opacity reset fired at 25 and 50: the max logit right after a reset
+    # is capped; by 60 it may have trained back up — check the artifact
+    # trail instead: checkpoints at 15/30/60 with meta
+    assert (out / "checkpoints" / "iter_0000030_meta.json").exists()
+
+    # resume from iteration 30, replay to 60, must match exactly
+    t_b, s_tmpl = make()
+    # drop the iter-60 checkpoint so latest = 30
+    import shutil
+    shutil.rmtree(out / "checkpoints" / "iter_0000060")
+    s_res, it = t_b.restore_checkpoint(out, template=s_tmpl)
+    assert it == 30
+    s_res = t_b.train(data, iterations=60, state=s_res, rng_seed=7,
+                      log_every=1000, start_iteration=30)
+
+    np.testing.assert_allclose(np.asarray(s_res.gaussians.mu_local),
+                               np.asarray(s_full.gaussians.mu_local),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_res.gaussians.opacity_logit),
+        np.asarray(s_full.gaussians.opacity_logit), atol=1e-6)
+    assert (np.asarray(s_res.gaussians.alive)
+            == np.asarray(s_full.gaussians.alive)).all()
+    assert int(s_res.step) == int(s_full.step) == 60
+
+    # moment surgery: after reset_opacity, (N,)-shaped moment leaves are
+    # zero while (N, 3) moments survive
+    s2 = t_b.reset_opacity(s_res)
+    cap = s2.gaussians.capacity
+    opac_m = [np.asarray(l) for l in jax.tree_util.tree_leaves(s2.opt_state)
+              if hasattr(l, "shape") and l.shape == (cap,)]
+    assert opac_m and all(np.abs(m).max() == 0 for m in opac_m)
+    pos_before = [np.asarray(l)
+                  for l in jax.tree_util.tree_leaves(s_res.opt_state)
+                  if hasattr(l, "shape") and l.shape == (cap, 3)]
+    pos_after = [np.asarray(l)
+                 for l in jax.tree_util.tree_leaves(s2.opt_state)
+                 if hasattr(l, "shape") and l.shape == (cap, 3)]
+    for a, b in zip(pos_before, pos_after):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+def test_sharded_opacity_reset_tracks_replicated():
+    """VERDICT r3 done-criterion: sharded vs replicated loss curves match
+    through iterations beyond 2x opacity_reset_interval (the reset is
+    deterministic, so parity must survive it)."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+    from omfs4d.train.trainer import AvatarTrainer, float_fields
+
+    S = 32
+    model, cam, data = _tiny_scene(S)
+    cfg = TrainConfig(iterations=12, densify_interval=0,
+                      opacity_reset_interval=4, densify_until_frac=1.0,
+                      max_gaussians=1024, batch_frames=1, sh_degree=1)
+    g0 = init_gaussians_on_mesh(np.asarray(model.faces), 1024, seed=0,
+                                sh_degree=1)
+
+    rep = AvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                        max_per_tile=512, use_pallas="never")
+    rs = rep.init_state(capacity=1024)._replace(gaussians=g0)
+    rs = rs._replace(opt_state=rep.optimizer.init(float_fields(g0)))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+    sh_tr = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                                 mesh=mesh, max_per_tile=512,
+                                 use_pallas="never")
+    ss = sh_tr.init_state(gaussians=g0)
+
+    rep_losses, sh_losses = [], []
+    for it in range(1, 13):
+        rs, rm = rep._step_fn(rs, data, jnp.zeros((1,), jnp.int32))
+        ss, sm = sh_tr.step(ss, data, 0)
+        rep_losses.append(float(rm["loss"]))
+        sh_losses.append(float(sm["loss"]))
+        if it % 4 == 0:          # 3 resets: beyond 2x the interval
+            rs = rep.reset_opacity(rs)
+            ss = sh_tr.reset_opacity(ss)
+    np.testing.assert_allclose(sh_losses, rep_losses, rtol=2e-2, atol=2e-3)
 
 
 def test_sharded_trainer_chunked_loop_matches_per_step():

@@ -416,6 +416,52 @@ def test_train_resume_matches_uninterrupted(scene, tmp_path):
     assert it_c == 80
 
 
+def test_reset_opacity_is_moment_surgery(scene):
+    """reset_opacity must zero ONLY the opacity tensor's Adam moments
+    (CUDA 3DGS `replace_tensor_to_optimizer` behavior) — every other
+    parameter keeps its warmed-up moments.  The old full-reinit behavior
+    threw away warmup for all parameters at opacity_reset_interval cadence."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(max_gaussians=1024, batch_frames=1)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=128, use_pallas="never")
+    state = trainer.init_state(capacity=1024)
+    data = _data(cam, verts, img)
+    for _ in range(3):
+        state, _ = trainer._step_fn(state, data, jnp.zeros((1,), jnp.int32))
+
+    cap = state.gaussians.capacity
+
+    def moment_leaves(opt_state, want_shape):
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(l, "shape") and l.shape == want_shape]
+
+    # warmed up: opacity moments (the only (N,)-shaped leaves) are nonzero
+    opac_moments = moment_leaves(state.opt_state, (cap,))
+    assert opac_moments and any(np.abs(m).max() > 0 for m in opac_moments)
+    pos_before = moment_leaves(state.opt_state, (cap, 3))
+    assert any(np.abs(m).max() > 0 for m in pos_before)
+
+    state2 = trainer.reset_opacity(state)
+
+    # opacities capped at 0.01
+    from omfs4d.models.gaussians import inverse_sigmoid
+    assert float(np.asarray(state2.gaussians.opacity_logit).max()) <= float(
+        inverse_sigmoid(0.01)) + 1e-6
+    # opacity moments zeroed...
+    for m in moment_leaves(state2.opt_state, (cap,)):
+        assert np.abs(m).max() == 0.0
+    # ...every other parameter's moments SURVIVE bitwise
+    pos_after = moment_leaves(state2.opt_state, (cap, 3))
+    for a, b in zip(pos_before, pos_after):
+        np.testing.assert_array_equal(a, b)
+
+    # and training continues finite from the spliced state
+    state3, metrics = trainer._step_fn(state2, data,
+                                       jnp.zeros((1,), jnp.int32))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_dssim_bounded_on_smooth_images():
     """D-SSIM must stay in [0, 1]: the windowed variance E[x^2] - mu^2 is
     clamped at 0 (on TPU, bf16 matmul rounding once drove it negative on
