@@ -55,6 +55,13 @@ class TrackConfig:
     lr: float = 1e-2
     photometric: bool = True
     photometric_backend: str = "splat"   # splat (gaussian) | mesh (halfplane)
+    # appearance model for the rgb stages (VHAP's rgb_init_texture optimizes
+    # a UV atlas, ref app.py:1283-1292): "uv" = (texture_res^2, 3) atlas
+    # sampled bilinearly (deferred texturing on the mesh backend, per-splat
+    # face-center samples on the splat backend); "flat" = legacy per-face /
+    # per-vertex colors
+    texture_mode: str = "uv"
+    texture_res: int = 128
     use_static_offset: bool = True
     # refine camera focal length during the landmark stages, frozen for the
     # photometric stages (VHAP's camera refinement; the reference exposes
@@ -64,6 +71,13 @@ class TrackConfig:
     reg_shape: float = 1e-3
     reg_expr: float = 1e-4
     reg_jaw: float = 1e-3
+    # optional LATE per-frame vertex refinement into the contract's
+    # dynamic_offset field (ref preprocess_video.py:311-341): heavily
+    # regularized + temporally smoothed so it only absorbs the residual
+    # pose/expression cannot explain
+    use_dynamic_offset: bool = False
+    steps_rgb_dynamic_offset: int = 100
+    reg_dynamic: float = 1.0
 
 
 @dataclass

@@ -42,11 +42,19 @@ class FlameModel(NamedTuple):
     faces: jnp.ndarray             # (F, 3) int32
     lmk_faces_idx: jnp.ndarray     # (L,) int32
     lmk_bary_coords: jnp.ndarray   # (L, 3)
+    uv_coords: jnp.ndarray = None  # (V, 2) in [0, 1] — texture atlas coords
+    #   (VHAP's rgb_init_texture optimizes a UV atlas for the FLAME mesh,
+    #    ref stage table app.py:1283-1292; assets without a UV layout get a
+    #    deterministic cylindrical unwrap)
 
     @classmethod
     def from_asset(cls, asset: dict) -> "FlameModel":
+        v_template = np.asarray(asset["v_template"], np.float32)
+        uv = asset.get("uv_coords")
+        if uv is None:
+            uv = default_uv_coords(v_template)
         return cls(
-            v_template=jnp.asarray(asset["v_template"], jnp.float32),
+            v_template=jnp.asarray(v_template, jnp.float32),
             shapedirs_shape=jnp.asarray(asset["shapedirs_shape"], jnp.float32),
             shapedirs_expr=jnp.asarray(asset["shapedirs_expr"], jnp.float32),
             posedirs=jnp.asarray(asset["posedirs"], jnp.float32),
@@ -56,6 +64,7 @@ class FlameModel(NamedTuple):
             faces=jnp.asarray(asset["faces"], jnp.int32),
             lmk_faces_idx=jnp.asarray(asset["lmk_faces_idx"], jnp.int32),
             lmk_bary_coords=jnp.asarray(asset["lmk_bary_coords"], jnp.float32),
+            uv_coords=jnp.asarray(uv, jnp.float32),
         )
 
     @property
@@ -65,6 +74,26 @@ class FlameModel(NamedTuple):
     @property
     def n_joints(self) -> int:
         return self.J_regressor.shape[0]
+
+
+def default_uv_coords(v_template: np.ndarray) -> np.ndarray:
+    """Deterministic cylindrical UV unwrap of a head mesh.
+
+    u = azimuth around the vertical (y) axis, v = normalized height — the
+    face (front hemisphere) maps to the seam-free middle of the atlas; the
+    wrap seam lands at the back of the head where photometric tracking has
+    no evidence anyway.  Used when the FLAME asset ships no UV layout
+    (FLAME 2023 pkl carries none; VHAP loads a separate template)."""
+    v = np.asarray(v_template, np.float32)
+    c = v.mean(axis=0, keepdims=True)
+    d = v - c
+    # seam at -z (back of head): front (+z) maps to u = 0.5
+    theta = np.arctan2(d[:, 0], d[:, 2])          # [-pi, pi], 0 at +z
+    u = (theta / np.pi + 1.0) * 0.5
+    y = v[:, 1]
+    vmin, vmax = float(y.min()), float(y.max())
+    vv = (y - vmin) / max(vmax - vmin, 1e-8)
+    return np.stack([u, vv], axis=1).astype(np.float32)
 
 
 def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:

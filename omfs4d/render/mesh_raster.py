@@ -214,7 +214,8 @@ def composite_mesh_tiles(
          counts_p.reshape(n_chunks, chunk_tiles),
          pix_p.reshape(n_chunks, chunk_tiles, P, 2)),
     )
-    return (colors_out.reshape(-1, P, 3)[:num_tiles],
+    C = colors_out.shape[-1]
+    return (colors_out.reshape(-1, P, C)[:num_tiles],
             alphas_out.reshape(-1, P)[:num_tiles])
 
 

@@ -56,12 +56,14 @@ STAGES = (
 
 #: per-frame parameter keys (leading T axis); everything else is global
 FRAME_KEYS = ("expr", "rotation", "neck_pose", "jaw_pose", "eyes_pose",
-              "translation")
+              "translation", "dynamic_offset")
 
 
 class TrackerResult(NamedTuple):
     params: dict          # dataset-contract FLAME params (numpy)
-    texture: np.ndarray   # (F, 3) per-face linear color
+    texture: np.ndarray   # linear color — (R, R, 3) UV atlas in
+    #   cfg.texture_mode="uv" (VHAP's rgb_init_texture appearance model),
+    #   (F, 3) per-face / (V, 3) per-vertex in the legacy "flat" mode
     losses: dict
     focal_scale: float = 1.0   # refined-focal multiplier on the init guess
 
@@ -125,6 +127,14 @@ class FlameTracker:
             width=self.p_width, height=self.p_height)
         self._step_cache: dict = {}
 
+    def _texture_shape(self) -> tuple:
+        if getattr(self.cfg, "texture_mode", "uv") == "uv":
+            r = int(getattr(self.cfg, "texture_res", 128))
+            return (r, r, 3)
+        return (self.model.n_vertices
+                if self.cfg.photometric_backend == "mesh"
+                else self.model.faces.shape[0], 3)
+
     # ── parameter pytree ─────────────────────────────────────
     def init_params(self, T: int) -> dict:
         return {
@@ -138,13 +148,15 @@ class FlameTracker:
             # canonical head sits (monocular convention: static camera,
             # head pose lives in rotation/translation)
             "translation": jnp.zeros((T, 3), jnp.float32),
-            # splat backend: per-face colors; mesh backend: per-vertex colors
-            # (barycentric smooth shading)
-            "texture": jnp.zeros(
-                (self.model.n_vertices
-                 if self.cfg.photometric_backend == "mesh"
-                 else self.model.faces.shape[0], 3), jnp.float32),
+            # uv mode: a (R, R, 3) atlas (logits); flat mode: per-vertex
+            # (mesh backend, barycentric) or per-face (splat backend) colors
+            "texture": jnp.zeros(self._texture_shape(), jnp.float32),
             "static_offset": jnp.zeros((1, self.model.n_vertices, 3), jnp.float32),
+            # per-frame vertex offsets (the contract's dynamic_offset field,
+            # ref preprocess_video.py:311-341) — optimized only by the late
+            # optional rgb_dynamic_offset stage (cfg.use_dynamic_offset)
+            "dynamic_offset": jnp.zeros(
+                (T, self.model.n_vertices, 3), jnp.float32),
             # log-scale multiplier on the caller's focal guess, optimized in
             # the landmark stages when cfg.optimize_focal (VHAP refines the
             # camera during its staged fit; -InitialFocal is only an init)
@@ -164,6 +176,8 @@ class FlameTracker:
                                   "jaw_pose", "eyes_pose", "translation")}
         if self.cfg.use_static_offset:
             args["static_offset"] = p["static_offset"]
+        if getattr(self.cfg, "use_dynamic_offset", False):
+            args["dynamic_offset"] = p["dynamic_offset"]
         return args
 
     def _prep_frames(self, frames):
@@ -199,22 +213,45 @@ class FlameTracker:
         # TRAINABLE in the landmark stages (VHAP freezes the camera for rgb)
         p_cam = self._scaled_camera(self.p_camera, p)
 
+        uv_mode = getattr(self.cfg, "texture_mode", "uv") == "uv"
         if self.cfg.photometric_backend == "mesh":
             from omfs4d.render.mesh_raster import rasterize_mesh
+            from omfs4d.render.texture import render_textured_mesh
 
-            face_colors = jax.nn.sigmoid(p["texture"])
+            tex_or_cols = jax.nn.sigmoid(p["texture"])
 
             def one(v, gt):
-                img, _ = rasterize_mesh(
-                    v, self.model.faces, face_colors, p_cam,
-                    self.p_width, self.p_height, face_opacity=0.98,
-                    background=bg, tile=self.tile,
-                    max_per_tile=self.max_per_tile,
-                    vertex_interp=True,
-                )
+                if uv_mode:
+                    # deferred texturing: UV attribute raster -> one
+                    # bilinear atlas sample per pixel (nvdiffrast's model)
+                    img, _ = render_textured_mesh(
+                        v, self.model.faces, self.model.uv_coords,
+                        tex_or_cols, p_cam, self.p_width, self.p_height,
+                        background=bg, face_opacity=0.98, tile=self.tile,
+                        max_per_tile=self.max_per_tile,
+                    )
+                else:
+                    img, _ = rasterize_mesh(
+                        v, self.model.faces, tex_or_cols, p_cam,
+                        self.p_width, self.p_height, face_opacity=0.98,
+                        background=bg, tile=self.tile,
+                        max_per_tile=self.max_per_tile,
+                        vertex_interp=True,
+                    )
                 return jnp.mean(jnp.abs(img - gt))
         else:
-            avatar = _texture_avatar(self.model, p["texture"])
+            if uv_mode:
+                # per-splat appearance from the atlas: each face splat
+                # samples the texture at its centroid UV (differentiable
+                # texel fetch).  Sampled in LOGIT space — bind_to_mesh
+                # applies the sigmoid, same as the flat parameterization.
+                from omfs4d.render.texture import bilinear_sample, face_center_uv
+
+                fuv = face_center_uv(self.model.uv_coords, self.model.faces)
+                face_logits = bilinear_sample(p["texture"], fuv)
+                avatar = _texture_avatar(self.model, face_logits)
+            else:
+                avatar = _texture_avatar(self.model, p["texture"])
 
             def one(v, gt):
                 means, rot, scales, opac, cols = bind_to_mesh(
@@ -245,6 +282,16 @@ class FlameTracker:
             + cfg.reg_jaw * jnp.mean(p["jaw_pose"] ** 2)
             + 1e-2 * jnp.mean(p["static_offset"] ** 2)
         )
+        if getattr(self.cfg, "use_dynamic_offset", False):
+            # strongly regularized: dynamic offsets absorb residual error
+            # LAST, after pose/expression/static offsets have explained
+            # everything they can (VHAP's ordering; unregularized per-frame
+            # vertex freedom would trivially overfit each frame)
+            reg = reg + cfg.reg_dynamic * jnp.mean(p["dynamic_offset"] ** 2)
+            if p["expr"].shape[0] > 1:
+                reg = reg + (self.cfg.temporal_smoothness * 100.0
+                             * jnp.mean(jnp.diff(p["dynamic_offset"],
+                                                 axis=0) ** 2))
         s = cfg.temporal_smoothness
         if p["expr"].shape[0] > 1:
             # per-key weights: articulated params (jaw, expression) carry
@@ -278,6 +325,7 @@ class FlameTracker:
             "neck_pose": lr * 0.3, "jaw_pose": lr, "eyes_pose": lr,
             "translation": lr * 0.5, "texture": lr * 10.0,
             "static_offset": lr * 0.1, "focal_log_scale": lr * 0.5,
+            "dynamic_offset": lr * 0.1,
         }
         return optax.multi_transform(
             {k: optax.adam(v) for k, v in group_lr.items()},
@@ -331,12 +379,9 @@ class FlameTracker:
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(self.mesh, Ps(self.data_axis)))
 
-            def step(params, opt_state, frame_idx, mask, w_lmk, w_rgb,
-                     landmarks, valid, frames):
+            def one_step(params, opt_state, frame_idx, mask, w_lmk, w_rgb,
+                         landmarks, valid, frames):
                 params = shard_T(params)
-                landmarks, valid = shard_data(landmarks), shard_data(valid)
-                if use_rgb:
-                    frames = shard_data(frames)
 
                 def loss_fn(p):
                     p = shard_T(p)
@@ -354,7 +399,31 @@ class FlameTracker:
                 updates, opt_state2 = opt.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state2, loss
 
-            self._step_cache[cache_key] = jax.jit(step, donate_argnums=(0, 1))
+            # scan-CHUNKED steps: per-step Python dispatch over the
+            # tunneled chip dominates these small stage steps (measured
+            # 2-4x on the landmark stages; the flame-fit bench variance
+            # 1072 -> 925 -> 263 it/s across rounds was pure tunnel
+            # dispatch noise, BENCH_NOTES r4).  idxs is (C, B): C steps
+            # per device program, same host-RNG stream as the per-step
+            # loop.
+            def chunk(params, opt_state, idxs, mask, w_lmk, w_rgb,
+                      landmarks, valid, frames):
+                landmarks, valid = shard_data(landmarks), shard_data(valid)
+                if use_rgb:
+                    frames = shard_data(frames)
+
+                def body(carry, fi):
+                    p, os_ = carry
+                    p2, os2, loss = one_step(p, os_, fi, mask, w_lmk, w_rgb,
+                                             landmarks, valid, frames)
+                    return (p2, os2), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), idxs)
+                return params, opt_state, losses[-1]
+
+            self._step_cache[cache_key] = jax.jit(chunk,
+                                                  donate_argnums=(0, 1))
         step_fn = self._step_cache[cache_key]
 
         mask = {k: jnp.float32(1.0 if k in trainable else 0.0)
@@ -366,13 +435,22 @@ class FlameTracker:
         loss = jnp.float32(0)
         import time as _time
         t0 = _time.time()
-        for i in range(steps):
-            frame_idx = jnp.asarray(
-                rng.integers(0, T, size=(min(rgb_batch, T),)), jnp.int32
-            )
+        # one chunk size + per-step remainder (each extra size is another
+        # full compile of the stage graph); chunks of 1 reuse the same
+        # compiled program with leading dim 1
+        CHUNK = 50
+        done = 0
+        B = min(rgb_batch, T)
+        while done < steps:
+            # remainders run length-1 chunks: two compiled sizes total
+            n = CHUNK if steps - done >= CHUNK else 1
+            idxs = jnp.asarray(
+                np.stack([rng.integers(0, T, size=(B,)) for _ in range(n)]),
+                jnp.int32)
             params, opt_state, loss = step_fn(
-                params, opt_state, frame_idx, mask, w_lmk, w_rgb,
+                params, opt_state, idxs, mask, w_lmk, w_rgb,
                 data["landmarks"], data["valid"], frames_arg)
+            done += n
         loss_f = float(loss)   # blocks: wall time covers the device work
         dt = _time.time() - t0
         events.emit("track_stage", stage=name, steps=steps, loss=loss_f,
@@ -544,6 +622,16 @@ class FlameTracker:
                     f"global_optimization_{epoch}", p, cfg.steps_global,
                     tuple(trainable), 0.3, 1.0, data, events,
                 )
+            # late optional per-frame vertex refinement (the contract's
+            # dynamic_offset field, ref preprocess_video.py:311-341): runs
+            # LAST so pose/expression explain the motion first and the
+            # heavily regularized offsets only absorb the residual
+            if (getattr(cfg, "use_dynamic_offset", False)
+                    and getattr(cfg, "steps_rgb_dynamic_offset", 0) > 0):
+                p = self._run_stage(
+                    "rgb_dynamic_offset", p, cfg.steps_rgb_dynamic_offset,
+                    ("dynamic_offset",), 0.1, 1.0, data, events,
+                )
 
         final_lmk = float(self._landmark_loss(p, data["landmarks"], data["valid"]))
         focal_scale = float(np.exp(np.asarray(p["focal_log_scale"])))
@@ -577,5 +665,9 @@ class FlameTracker:
             "eyes_pose": np.asarray(p["eyes_pose"]),
             "translation": np.asarray(p["translation"]),
             "static_offset": np.asarray(p["static_offset"]),
-            "dynamic_offset": np.zeros((T, V, 3), np.float32),
+            # non-zero when the optional rgb_dynamic_offset stage ran
+            # (ref contract field: preprocess_video.py:311-341)
+            "dynamic_offset": (np.asarray(p["dynamic_offset"])
+                               if "dynamic_offset" in p
+                               else np.zeros((T, V, 3), np.float32)),
         }

