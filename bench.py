@@ -228,16 +228,34 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss
 
+    # scan-CHUNKED measurement (25 steps per device program), matching how
+    # FlameTracker._run_stage actually dispatches since round 4.  The old
+    # per-step-dispatch loop measured mostly TUNNEL latency: its r2->r3
+    # "regression" (1072 -> 925 it/s) and same-day spread (491 vs 263) were
+    # dispatch noise, not device time.
+    FIT_CHUNK = 25
+
+    def fit_chunk(p, opt_state):
+        def body(carry, _):
+            q, os_ = carry
+            q2, os2, loss = fit_step(q, os_)
+            return (q2, os2), loss
+
+        (p, opt_state), losses = jax.lax.scan(
+            body, (p, opt_state), None, length=FIT_CHUNK)
+        return p, opt_state, losses[-1]
+
     _mark("compiling flame fit")
     try:
-        fit_jit = jax.jit(fit_step)
+        fit_jit = jax.jit(fit_chunk, donate_argnums=(0, 1))
         p, opt_state, loss = fit_jit(p, opt_state)
         jax.block_until_ready(loss)
+        n_chunks = max((n_timed * 2) // FIT_CHUNK, 2)
         t0 = time.perf_counter()
-        for _ in range(n_timed * 2):
+        for _ in range(n_chunks):
             p, opt_state, loss = fit_jit(p, opt_state)
         jax.block_until_ready(loss)
-        flame_ips = (n_timed * 2) / (time.perf_counter() - t0)
+        flame_ips = (n_chunks * FIT_CHUNK) / (time.perf_counter() - t0)
     except Exception as e:  # noqa: BLE001 — keep the headline metric
         _mark(f"flame fit bench failed: {e}")
         flame_ips = float("nan")
@@ -245,10 +263,14 @@ def main():
     # ── MFU / roofline accounting ────────────────────────────
     # XLA's own cost model for the compiled step (flops + HBM bytes), plus
     # an analytic count for the Pallas composite (custom calls report zero
-    # flops to XLA).  MFU denominator: v5e peak bf16 MXU throughput — the
-    # honest speed-of-light for this chip even where we run f32 (f32 work
-    # can in principle be moved to bf16 matmuls).
-    V5E_PEAK_FLOPS = 197e12
+    # flops to XLA).  BOTH denominators are reported explicitly — the
+    # kernels currently run f32, so mfu_f32 is utilization against the
+    # throughput those ops can actually reach, and mfu_bf16 is the
+    # headroom if every matmul moved to bf16 (don't let one number
+    # silently change meaning if kernels switch dtype).
+    V5E_PEAK_FLOPS_BF16 = 197e12
+    V5E_PEAK_FLOPS_F32 = 197e12 / 4   # MXU f32 via multi-pass bf16
+    V5E_PEAK_FLOPS = V5E_PEAK_FLOPS_BF16
     V5E_HBM_BW = 819e9          # bytes/s
     xla_flops = xla_bytes = None
     try:
@@ -268,18 +290,37 @@ def main():
     pallas_flops = (3 * grid_tiles * (2 * K * K * Ppix)
                     if use_pallas == "always" else 0.0)
 
-    mfu = bytes_per_step = roofline = None
+    mfu = mfu_f32 = bytes_per_step = roofline = None
     if train_ips and np.isfinite(train_ips) and xla_flops is not None:
         total_flops = xla_flops + pallas_flops
-        mfu = total_flops * train_ips / V5E_PEAK_FLOPS
+        mfu = total_flops * train_ips / V5E_PEAK_FLOPS_BF16
+        mfu_f32 = total_flops * train_ips / V5E_PEAK_FLOPS_F32
         bytes_per_step = xla_bytes
         if xla_bytes:
-            # which wall is closer at this op mix
-            t_compute = total_flops / V5E_PEAK_FLOPS
+            # which wall is closer at this op mix (f32 peak: kernels run f32)
+            t_compute = total_flops / V5E_PEAK_FLOPS_F32
             t_memory = xla_bytes / V5E_HBM_BW
             roofline = "memory" if t_memory > t_compute else "compute"
-            _mark(f"mfu={mfu:.4f} flops/step={total_flops:.3e} "
+            _mark(f"mfu_bf16={mfu:.4f} mfu_f32={mfu_f32:.4f} "
+                  f"flops/step={total_flops:.3e} "
                   f"bytes/step={xla_bytes:.3e} bound={roofline}")
+
+    # regression floors (fail LOUDLY, not silently: the r3 flame-fit drop
+    # went unnoticed because only train it/s was watched).  Floors apply
+    # only to real-chip full-size runs.
+    floors = None
+    if not quick and tpu_ok:
+        floors = {
+            "train_ips": 50.0, "render_fps": 80.0, "flame_fit": 700.0,
+        }
+        checks = {
+            "train_ips_ok": bool(np.isfinite(train_ips) and train_ips >= floors["train_ips"]),
+            "render_fps_ok": bool(np.isfinite(render_fps) and render_fps >= floors["render_fps"]),
+            "flame_fit_ok": bool(np.isfinite(flame_ips) and flame_ips >= floors["flame_fit"]),
+        }
+        floors.update(checks)
+        if not all(checks.values()):
+            _mark(f"!! REGRESSION FLOOR VIOLATED: {checks}")
 
     def _num(x, nd=3):
         """nan/inf -> None so the emitted line is strictly valid JSON."""
@@ -300,6 +341,8 @@ def main():
             "pallas": use_pallas == "always",
             "tpu_unreachable": not tpu_ok,
             "mfu": _num(mfu, 5) if mfu is not None else None,
+            "mfu_f32": _num(mfu_f32, 5) if mfu_f32 is not None else None,
+            "floors": floors,
             "flops_per_step": (_num(xla_flops + pallas_flops, 0)
                                if xla_flops is not None else None),
             "bytes_per_step": (_num(bytes_per_step, 0)

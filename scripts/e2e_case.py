@@ -156,6 +156,35 @@ def main():
                               baseline_renders_dir=baseline_renders)
     front = rep_mod.get("summary", {}).get("by_bucket", {}).get("front", {})
 
+    # it/s decay across densification: bucket the train_step events (the
+    # 30k-iter headline run records how throughput falls as the cloud grows)
+    train_ips_curve = None
+    ev_path = work / "events.jsonl"
+    if ev_path.exists():
+        rows = []
+        for line in ev_path.read_text().splitlines():
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if r.get("event") == "train_step":
+                rows.append((r["iter"], r["t"], r.get("n_alive")))
+        rows.sort()
+        if len(rows) >= 3:
+            bucket = max(args.iters // 10, 1)
+            train_ips_curve = []
+            for b in range(0, args.iters, bucket):
+                seg = [r for r in rows if b < r[0] <= b + bucket]
+                if len(seg) >= 2:
+                    dt = seg[-1][1] - seg[0][1]
+                    di = seg[-1][0] - seg[0][0]
+                    if dt > 0:
+                        train_ips_curve.append({
+                            "iters": [seg[0][0], seg[-1][0]],
+                            "it_per_sec": round(di / dt, 1),
+                            "n_alive": seg[-1][2],
+                        })
+
     out = {
         "e2e_minutes_per_case": round((time.time() - t_all) / 60, 2),
         "stages_sec": stages,
@@ -168,6 +197,7 @@ def main():
         "gt_track": bool(args.gt_track),
         "front_psnr_modified": front.get("psnr"),
         "front_psnr_unchanged": front.get("psnr_unchanged"),
+        "train_ips_curve": train_ips_curve,
     }
     Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -22,6 +22,35 @@ from omfs4d.render.rasterize import bin_gaussians
 from omfs4d.render.pallas_kernels import _call_bwd, _call_fwd, composite_pallas
 
 
+def make_scene(size, capacity, alive, max_per_tile, tile=16, seed=0):
+    """Shared synthetic-scene setup (proj dict, colors, opacity, binning).
+
+    One construction for every sub-benchmark so max_per_tile/alive always
+    match across comparisons (they are printed with each section header)."""
+    rng = np.random.default_rng(seed)
+    N = capacity
+    uv = rng.uniform(0, size, (N, 2)).astype(np.float32)
+    radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
+    depth = rng.uniform(0.1, 2.0, (N,)).astype(np.float32)
+    in_front = np.zeros((N,), bool)
+    in_front[:alive] = True
+    opac = np.where(in_front, 0.7, 0.0).astype(np.float32)
+    conic = np.stack([1.0 / radius**2, np.zeros_like(radius),
+                      1.0 / radius**2], axis=1).astype(np.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    proj = {
+        "uv": jnp.asarray(uv),
+        "radius": jnp.asarray(radius),
+        "depth": jnp.asarray(depth),
+        "in_front": jnp.asarray(in_front),
+        "conic": jnp.asarray(conic),
+    }
+    opacity = jnp.asarray(opac)
+    binning = jax.jit(lambda p, o: bin_gaussians(
+        p, o, size, size, tile, max_per_tile))(proj, opacity)
+    return proj, colors, opacity, binning, rng
+
+
 def timed_chain(step, x0, n=30, label=""):
     """step: x -> x (same structure).  Chained: no overlap possible."""
     x = step(x0)
@@ -40,29 +69,13 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
     W = H = size
     grid_w = (size + tile - 1) // tile
     num_tiles = grid_w * grid_w
-    rng = np.random.default_rng(0)
     N = capacity
+    proj, colors, opacity, binning, rng = make_scene(
+        size, capacity, alive, max_per_tile, tile)
+    conic = proj["conic"]
 
-    uv = rng.uniform(0, size, (N, 2)).astype(np.float32)
-    radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
-    depth = rng.uniform(0.1, 2.0, (N,)).astype(np.float32)
-    in_front = np.zeros((N,), bool)
-    in_front[:alive] = True
-    opac = np.where(in_front, 0.7, 0.0).astype(np.float32)
-    conic = np.stack([1.0 / radius**2, np.zeros_like(radius),
-                      1.0 / radius**2], axis=1).astype(np.float32)
-    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
-
-    proj = {
-        "uv": jnp.asarray(uv),
-        "radius": jnp.asarray(radius),
-        "depth": jnp.asarray(depth),
-        "in_front": jnp.asarray(in_front),
-        "conic": jnp.asarray(conic),
-    }
-    opacity = jnp.asarray(opac)
-
-    print(f"== binning (N={N}, alive={alive}, tiles={num_tiles}) ==")
+    print(f"== binning (N={N}, alive={alive}, tiles={num_tiles}, "
+          f"K={max_per_tile}) ==")
 
     def chain_bin(two_class_min_n):
         @jax.jit
@@ -98,9 +111,6 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
         timed_chain(chain_sort, (keys, payload),
                     label=f"lax.sort key+payload ({n_pairs} pairs)")
 
-    binning = jax.jit(lambda p, o: bin_gaussians(
-        p, o, W, H, tile, max_per_tile))(proj, opacity)
-
     print(f"== composite (T={num_tiles}, K={max_per_tile}) ==")
     T, K = binning.tile_lists.shape
     P = tile * tile
@@ -125,14 +135,18 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
 
     @jax.jit
     def chain_pack(u):
-        return u + pack(u)[0, 0, 0] * 1e-12
+        # fold a reduction of the FULL packed output back into the chain —
+        # consuming only one element lets XLA's slice-of-gather shrink the
+        # (T, 9, K) gather to a near-trivial computation
+        return u + jnp.sum(pack(u)) * 1e-12
     timed_chain(chain_pack, proj["uv"], label="packing (concat+gather+swap)")
 
     packed0 = jax.jit(pack)(proj["uv"])
+    base0 = jnp.zeros((1,), jnp.int32)
 
     @jax.jit
     def chain_fwd_kernel(p):
-        col, alp = _call_fwd(p, tile, grid_w, False)
+        col, alp = _call_fwd(p, base0, tile, grid_w, False)
         return p + col[0, 0, 0] * 1e-12
     timed_chain(chain_fwd_kernel, packed0, label="fwd pallas kernel only")
 
@@ -141,7 +155,7 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
 
     @jax.jit
     def chain_bwd_kernel(p):
-        dp = _call_bwd(p, dcol, dalpha, tile, grid_w, False)
+        dp = _call_bwd(p, base0, dcol, dalpha, tile, grid_w, False)
         return p + dp[0, 0, 0] * 1e-12
     timed_chain(chain_bwd_kernel, packed0, label="bwd pallas kernel only")
 
@@ -151,7 +165,7 @@ def main(size=512, capacity=131_072, alive=65_536, max_per_tile=512,
         out = jnp.zeros((N, 9), jnp.float32).at[binning.tile_lists].add(dg9)
         return dp + out[0, 0] * 1e-12
     dpacked0 = jax.jit(
-        lambda p: _call_bwd(p, dcol, dalpha, tile, grid_w, False))(packed0)
+        lambda p: _call_bwd(p, base0, dcol, dalpha, tile, grid_w, False))(packed0)
     timed_chain(chain_scatter, dpacked0, label="scatter-add unpack")
 
     grad_fn = jax.grad(
@@ -249,24 +263,9 @@ def pack_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=256,
     vs 9 component-wise 1-D gathers vs one flattened 1-D gather."""
     W = H = size
     grid_w = (size + tile - 1) // tile
-    rng = np.random.default_rng(0)
     N = capacity
-    radius = np.abs(rng.normal(8.0, 6.0, (N,))).astype(np.float32) + 1.0
-    in_front = np.zeros((N,), bool)
-    in_front[:alive] = True
-    opac = jnp.asarray(np.where(in_front, 0.7, 0.0).astype(np.float32))
-    proj = {
-        "uv": jnp.asarray(rng.uniform(0, size, (N, 2)).astype(np.float32)),
-        "radius": jnp.asarray(radius),
-        "depth": jnp.asarray(rng.uniform(0.1, 2.0, (N,)).astype(np.float32)),
-        "in_front": jnp.asarray(in_front),
-        "conic": jnp.asarray(np.stack(
-            [1.0 / radius**2, np.zeros_like(radius), 1.0 / radius**2],
-            axis=1).astype(np.float32)),
-    }
-    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
-    binning = jax.jit(lambda p, o: bin_gaussians(
-        p, o, W, H, tile, max_per_tile))(proj, opac)
+    proj, colors, opac, binning, rng = make_scene(
+        size, capacity, alive, max_per_tile, tile)
     idx = binning.tile_lists
     T, K = idx.shape
     k_valid = (jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -304,7 +303,9 @@ def pack_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=256,
                      ("flattened comp-major gather", pack_flat)):
         @jax.jit
         def chain_f(u, fn=fn):
-            return u + fn(u)[0, 0, 0] * 1e-12
+            # sum over the FULL output keeps the whole gather live (a
+            # one-element consumer lets XLA shrink it via slice-of-gather)
+            return u + jnp.sum(fn(u)) * 1e-12
         try:
             timed_chain(chain_f, proj["uv"], label=f"pack fwd: {name}")
         except Exception as e:  # noqa: BLE001
@@ -326,7 +327,8 @@ def pack_ab(size=512, capacity=131_072, alive=65_536, max_per_tile=256,
     for name, fn in (("row-gather (current)", pack_row),
                      ("9 component gathers", pack_comp)):
         def loss(u, fn=fn):
-            col, alp = composite_tiles(fn(u), tile, grid_w, False)
+            col, alp = composite_tiles(fn(u), jnp.zeros((1,), jnp.int32),
+                                       tile, grid_w, False)
             return jnp.sum(col)
 
         gfull = jax.grad(loss)

@@ -52,6 +52,82 @@ def test_dicom_series_roundtrip(tmp_path):
     np.testing.assert_allclose(vol, raw[order].astype(np.float32) - 1024.0)
 
 
+def test_dicom_rle_series_roundtrip(tmp_path):
+    """RLE Lossless (1.2.840.10008.1.2.5): a compressed series decodes
+    bit-exactly (first-party PackBits over the DICOM byte-segment
+    composite; ref pydicom surface: dicom_loader.py:97-103)."""
+    from omfs4d.io.dicom import RLE_LOSSLESS
+
+    rng = np.random.default_rng(7)
+    # mix of flat runs (RLE-friendly) and noise (literal runs)
+    raw = rng.integers(-1024, 3000, size=(4, 16, 16)).astype(np.int16)
+    raw[:, :8, :] = -1000          # air plateau -> long replicate runs
+    for i in range(4):
+        write_dicom_slice(
+            tmp_path / f"s{i}.dcm", raw[i], position=(0.0, 0.0, float(i)),
+            rescale_slope=1.0, rescale_intercept=0.0,
+            transfer_syntax=RLE_LOSSLESS,
+        )
+    vol, spacing = load_dicom_series(tmp_path)
+    assert vol.shape == (4, 16, 16)
+    np.testing.assert_array_equal(vol, raw.astype(np.float32))
+
+
+def test_dicom_rle_packbits_edge_cases():
+    """PackBits encoder/decoder invariants: long runs (>128), literal-only
+    data, and odd lengths (pad byte)."""
+    from omfs4d.io.dicom import _packbits_decode, _packbits_encode
+
+    cases = [
+        np.zeros(300, np.uint8),                       # single long run
+        np.arange(200, dtype=np.uint8),                # literal-only
+        np.asarray([1, 1, 1, 2, 3, 3, 3, 3, 9], np.uint8),
+        np.asarray([5], np.uint8),
+    ]
+    for data in cases:
+        enc = _packbits_encode(data)
+        dec = _packbits_decode(enc, len(data))
+        np.testing.assert_array_equal(dec, data)
+
+
+def test_dicom_jpeg_baseline_series(tmp_path):
+    """JPEG Baseline (1.2.840.10008.1.2.4.50): encapsulated 8-bit slices
+    decode through PIL to within lossy-JPEG tolerance."""
+    pytest.importorskip("PIL")
+    from omfs4d.io.dicom import JPEG_BASELINE
+
+    rng = np.random.default_rng(3)
+    smooth = np.clip(
+        128 + 60 * np.sin(np.linspace(0, 3, 32))[None, :, None]
+        + rng.normal(0, 2, (3, 32, 32)), 0, 255).astype(np.uint8)
+    for i in range(3):
+        write_dicom_slice(
+            tmp_path / f"s{i}.dcm", smooth[i], position=(0.0, 0.0, float(i)),
+            transfer_syntax=JPEG_BASELINE,
+        )
+    vol, _ = load_dicom_series(tmp_path)
+    assert vol.shape == (3, 32, 32)
+    assert np.abs(vol - smooth.astype(np.float32)).mean() < 4.0
+
+
+def test_dicom_unsupported_syntax_is_crisp(tmp_path):
+    """An unsupported transfer syntax must fail loudly NAMING the UID, not
+    skip silently into an empty-series mystery."""
+    from omfs4d.io.dicom import UnsupportedTransferSyntaxError
+
+    write_dicom_slice(tmp_path / "s0.dcm",
+                      np.zeros((4, 4), np.int16), position=(0, 0, 0))
+    # rewrite the meta transfer-syntax UID to Explicit VR BIG Endian
+    # (same padded length, so the meta group still parses)
+    blob = (tmp_path / "s0.dcm").read_bytes()
+    blob = blob.replace(b"1.2.840.10008.1.2.1 ",
+                        b"1.2.840.10008.1.2.2 ")
+    (tmp_path / "s0.dcm").write_bytes(blob)
+    with pytest.raises(UnsupportedTransferSyntaxError) as e:
+        load_dicom_series(tmp_path)
+    assert "1.2.840.10008.1.2.2" in str(e.value)
+
+
 def test_ply_roundtrip_binary(tmp_path):
     verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=np.float32)
     faces = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
