@@ -39,8 +39,15 @@ class GaussianAvatar(NamedTuple):
 
 
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix."""
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix.
+
+    eps INSIDE the sqrt: `linalg.norm(q) + eps` has a NaN gradient at
+    q == 0, and zero-padded dead slots DO hit q == 0 — their zero
+    cotangents multiply the NaN jacobian (0 * NaN = NaN) and poison the
+    shared FLAME-vertex gradients under co-optimization (the capacity-
+    growth collapse, round 4)."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    q = q / norm
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),

@@ -634,6 +634,15 @@ class AvatarTrainer:
         flame = (state.flame_params, state.flame_opt_state)
         resized = jax.tree_util.tree_map(
             fix, state._replace(flame_params=None, flame_opt_state=None))
+        # padded dead slots must carry UNIT quaternions like every other
+        # dead-slot producer (init, checkpoint load): a zero quaternion's
+        # normalization has degenerate gradients that poison shared
+        # upstream tensors through 0-cotangent VJPs
+        if new_capacity > old:
+            q = resized.gaussians.quat_local
+            q = q.at[old:, 0].set(1.0)
+            resized = resized._replace(
+                gaussians=resized.gaussians._replace(quat_local=q))
         return resized._replace(flame_params=flame[0], flame_opt_state=flame[1])
 
     def maybe_grow_capacity(self, state: TrainState) -> TrainState:

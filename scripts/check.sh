@@ -18,6 +18,12 @@ img = jax.jit(fn)(*args); img.block_until_ready()
 print('entry OK', img.shape)
 "
 
+echo "== multi-HOST dryrun (2 processes x 4 CPU devices, gloo) =="
+python -c "
+import __graft_entry__ as ge
+ge.dryrun_multiprocess(n_processes=2, local_devices=4, port=12971)
+"
+
 echo "== e2e smoke (CPU, ~10 min): video -> neural landmarks -> avatar -> prediction =="
 python -u scripts/e2e_case.py --size 64 --frames 4 --iters 120 --cpu \
     --workdir /tmp/omfs4d_check_e2e --out /tmp/omfs4d_check_e2e.json

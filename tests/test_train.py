@@ -365,6 +365,38 @@ def test_large_frac_auto_grows_on_spill(scene):
     assert trainer.render_cfg["large_frac"] > 8 / 512
 
 
+def test_capacity_growth_with_co_opt_stays_finite(scene):
+    """Regression (round 4, found by the 30k 512^2 run): capacity growth
+    padded new dead slots with ZERO quaternions, whose normalization has a
+    NaN gradient at 0 — the zero cotangents multiplied the NaN jacobian
+    and, under FLAME co-optimization, poisoned the shared vertex gradients:
+    the whole cloud NaN'd and was pruned to nothing within ~100 iters of
+    the first growth.  Force a mid-run growth and require finite state."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=200, max_gaussians=4096, batch_frames=1,
+                      densify_from=10, densify_interval=20,
+                      densify_until_frac=1.0, densify_grad_threshold=1e-8,
+                      opacity_reset_interval=0, optimize_flame=True)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=128, use_pallas="never",
+                            flame_model=model)
+    flame_p = {"shape": jnp.zeros(300), "expr": jnp.zeros((1, 100)),
+               "rotation": jnp.zeros((1, 3)), "neck_pose": jnp.zeros((1, 3)),
+               "jaw_pose": jnp.zeros((1, 3)), "eyes_pose": jnp.zeros((1, 6)),
+               "translation": jnp.zeros((1, 3))}
+    state = trainer.init_state(capacity=1024, flame_params=flame_p)
+    state = trainer.train(_data(cam, verts, img), iterations=200,
+                          state=state, log_every=100000)
+    g = state.gaussians
+    assert g.capacity > 1024, "test must actually grow capacity"
+    assert int(np.asarray(g.alive).sum()) > 0
+    for f in ("mu_local", "log_scale", "opacity_logit", "quat_local",
+              "color"):
+        assert np.isfinite(np.asarray(getattr(g, f))).all(), f
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in state.flame_params.values())
+
+
 def test_train_resume_matches_uninterrupted(scene, tmp_path):
     """A killed run resumed from its newest checkpoint must reach the SAME
     final state as an uninterrupted run: full optimizer + RNG-stream replay
