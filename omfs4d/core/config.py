@@ -100,6 +100,12 @@ class TrainConfig:
     iterations: int = 5000
     resolution: int = -1
     lr_position: float = 5e-4
+    # exponential position-LR decay to lr_position*final_scale over
+    # `iterations` — CUDA 3DGS decays position_lr 1.6e-4 -> 1.6e-6 over its
+    # 30k schedule; a constant position LR measured fine at 5k iters but
+    # churns the cloud at 30k (late splits from jitter gradients, psnr
+    # falling after densification ends).  1.0 = constant (legacy).
+    lr_position_final_scale: float = 0.01
     lr_rotation: float = 1e-3
     lr_scale: float = 5e-3
     lr_opacity: float = 5e-2

@@ -94,10 +94,24 @@ def _flame_lr(cfg: TrainConfig, peak: float):
     )
 
 
+def _position_lr(cfg: TrainConfig):
+    """CUDA 3DGS decays position_lr exponentially (1.6e-4 -> 1.6e-6 over
+    30k); lr_position_final_scale=1.0 keeps the legacy constant LR."""
+    final = float(getattr(cfg, "lr_position_final_scale", 1.0))
+    if final >= 1.0:
+        return cfg.lr_position
+    return optax.exponential_decay(
+        init_value=cfg.lr_position,
+        transition_steps=max(cfg.iterations, 1),
+        decay_rate=final,
+        end_value=cfg.lr_position * final,
+    )
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.multi_transform(
         {
-            "pos": optax.adam(cfg.lr_position),
+            "pos": optax.adam(_position_lr(cfg)),
             "rot": optax.adam(cfg.lr_rotation),
             "scale": optax.adam(cfg.lr_scale),
             "opac": optax.adam(cfg.lr_opacity),

@@ -159,7 +159,9 @@ def main():
     # it/s decay across densification: bucket the train_step events (the
     # 30k-iter headline run records how throughput falls as the cloud grows)
     train_ips_curve = None
-    ev_path = work / "events.jsonl"
+    ev_path = work / "wd" / "events.jsonl"   # the pipeline's workdir subdir
+    if not ev_path.exists():
+        ev_path = work / "events.jsonl"
     if ev_path.exists():
         rows = []
         for line in ev_path.read_text().splitlines():

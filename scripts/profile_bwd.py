@@ -91,11 +91,11 @@ def main(size=512, capacity=131_072, target_alive=65_536, max_per_tile=512):
     timed(build_jit, proj["uv"], proj["conic"], cols, opac,
           label="pack (gather fwd + transpose)")
 
-    fwd = jax.jit(lambda p: pk._call_fwd(p, tile, grid_w, False))
+    fwd = jax.jit(lambda p: pk._call_fwd(p, jnp.zeros((1,), jnp.int32), tile, grid_w, False))
     col, alp = fwd(packed)
     timed(fwd, packed, label="pallas fwd kernel")
 
-    bwd = jax.jit(lambda p, dc, da: pk._call_bwd(p, dc, da, tile, grid_w, False))
+    bwd = jax.jit(lambda p, dc, da: pk._call_bwd(p, jnp.zeros((1,), jnp.int32), dc, da, tile, grid_w, False))
     dcol = jnp.ones_like(col)
     dalpha = jnp.ones_like(alp)
     timed(bwd, packed, dcol, dalpha, label="pallas bwd kernel")

@@ -186,9 +186,9 @@ def main():
     dalpha = jnp.asarray(rng.normal(0, 1, (T, 1, P)), jnp.float32)
 
     print(f"T={T} K={K} P={P} (all tiles at full occupancy)", flush=True)
-    fwd = jax.jit(lambda p: _call_fwd(p, TILE, GRID_W, False))
+    fwd = jax.jit(lambda p: _call_fwd(p, jnp.zeros((1,), jnp.int32), TILE, GRID_W, False))
     timed(fwd, packed, label="fwd (current)")
-    bwd = jax.jit(lambda p, dc, da: _call_bwd(p, dc, da, TILE, GRID_W, False))
+    bwd = jax.jit(lambda p, dc, da: _call_bwd(p, jnp.zeros((1,), jnp.int32), dc, da, TILE, GRID_W, False))
     timed(bwd, packed, dcol, dalpha, label="bwd (current)")
 
     for mode in ("copy", "elementwise", "matmuls", "bf16_matmuls",
