@@ -259,8 +259,10 @@ class ShardedAvatarTrainer:
     MAX_TILE_WINDOW = 64
     WINDOW_CHECK_EVERY = 50
     WINDOW_CHECK_UNTIL = 500
+    REFIT_MIN_REMAINING = 2000
     _window_capped = False
     _frac_capped = False
+    _refit_done = False
 
     def preflight_tile_window(self, state: TrainState, data: dict,
                               n_probe: int = 4) -> None:
@@ -276,6 +278,24 @@ class ShardedAvatarTrainer:
         if updates:
             self.render_opts.update(updates)
             log.info(f"[sharded] preflight binning windows: {updates}")
+            self._recompile_step_fns()
+
+    def refit_tile_window(self, state: TrainState, data: dict,
+                          n_probe: int = 4) -> None:
+        """Post-densification window re-fit (see AvatarTrainer): shrink the
+        binning budget to the post-split cloud; escalation stays live."""
+        sides, n_frames = probe_tile_spans(
+            state.gaussians, self.faces, data, self.width, self.height,
+            self.render_opts["tile"], n_probe)
+        updates = size_binning_windows(
+            sides, n_frames, self.render_opts,
+            int(state.gaussians.capacity), self.MAX_TILE_WINDOW,
+            allow_shrink=True)
+        if updates:
+            self.render_opts.update(updates)
+            self._window_capped = False
+            self._frac_capped = False
+            log.info(f"[sharded] post-densification window refit: {updates}")
             self._recompile_step_fns()
 
     def grow_tile_window(self) -> bool:
@@ -489,6 +509,11 @@ class ShardedAvatarTrainer:
                     and it % cfg.densify_interval == 0):
                 key, sub = jax.random.split(key)
                 state = self.densify(state, sub)
+            if (cfg.densify_interval > 0 and it >= densify_until
+                    and iterations - it >= self.REFIT_MIN_REMAINING
+                    and not self._refit_done):
+                self._refit_done = True
+                self.refit_tile_window(state, data)
             if (cfg.opacity_reset_interval > 0
                     and it % cfg.opacity_reset_interval == 0
                     and it < densify_until):

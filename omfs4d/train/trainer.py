@@ -270,7 +270,8 @@ def probe_tile_spans(gaussians, faces, data: dict, width: int, height: int,
 
 
 def size_binning_windows(sides: np.ndarray, n_frames: int, render_cfg: dict,
-                         capacity: int, max_window: int) -> dict:
+                         capacity: int, max_window: int,
+                         allow_shrink: bool = False) -> dict:
     """Binning-window updates from probed spans (empty dict = no change).
 
     * max_tiles_per_gaussian = side^2 at the 99.8th percentile of visible
@@ -279,7 +280,15 @@ def size_binning_windows(sides: np.ndarray, n_frames: int, render_cfg: dict,
     * large_frac sized so the large-class budget covers 4x the gaussians
       that outgrow the small window (densification splits ADD large
       gaussians as alive grows; a 2x margin measured a mid-run spill regrow
-      = a ~150 s recompile of every step program)."""
+      = a ~150 s recompile of every step program).
+
+    `allow_shrink` (the post-densification REFIT): windows may also shrink
+    to what the probe says — the preflight sizes for the pre-split init
+    cloud (largest gaussians of the whole run), and carrying that budget
+    through the post-densification phase measured a 12M-pair sort per step
+    on the 30k 512² case (large_frac had escalated to 0.96).  Margins are
+    tighter (2x frac) because the cloud no longer grows; the runtime
+    escalation loop stays live as the safety net."""
     vis = sides[sides > 0]
     if vis.size == 0:
         return {}
@@ -288,13 +297,20 @@ def size_binning_windows(sides: np.ndarray, n_frames: int, render_cfg: dict,
     side_needed = int(np.ceil(np.percentile(vis, 99.8)))
     max_side = int(round(max_window ** 0.5))
     cur_side = int(round(render_cfg["max_tiles_per_gaussian"] ** 0.5))
-    side = int(np.clip(side_needed, cur_side, max_side))
+    lo_side = 4 if allow_shrink else cur_side     # never below a 4x4 window
+    side = int(np.clip(side_needed, lo_side, max_side))
     n_large = int((vis > small_side).sum()) // max(n_frames, 1)
-    frac_needed = min(4.0 * n_large / max(capacity, 1), 1.0)
+    margin = 2.0 if allow_shrink else 4.0
+    frac_needed = min(margin * n_large / max(capacity, 1), 1.0)
+    frac_needed = max(frac_needed, 0.02)
     updates = {}
-    if side * side > render_cfg["max_tiles_per_gaussian"]:
-        updates["max_tiles_per_gaussian"] = side * side
-    if frac_needed > render_cfg.get("large_frac", 0.125):
+    want_tiles = side * side
+    if (want_tiles > render_cfg["max_tiles_per_gaussian"]
+            or (allow_shrink
+                and want_tiles < render_cfg["max_tiles_per_gaussian"])):
+        updates["max_tiles_per_gaussian"] = want_tiles
+    cur_frac = render_cfg.get("large_frac", 0.125)
+    if frac_needed > cur_frac or (allow_shrink and frac_needed < cur_frac):
         updates["large_frac"] = frac_needed
     return updates
 
@@ -587,6 +603,7 @@ class AvatarTrainer:
     WINDOW_CHECK_UNTIL = 500
     _window_capped = False
     _frac_capped = False
+    _refit_done = False
 
     def preflight_tile_window(self, state: TrainState, data: dict,
                               n_probe: int = 4) -> None:
@@ -673,6 +690,36 @@ class AvatarTrainer:
         log.info(f"growing gaussian capacity {cap} -> {new_cap} "
                  f"({alive} alive; step fns recompile)")
         return self.resize_state_capacity(state, new_cap)
+
+    REFIT_MIN_REMAINING = 2000
+
+    def refit_tile_window(self, state: TrainState, data: dict,
+                          n_probe: int = 4) -> None:
+        """Re-size the binning windows for the POST-densification cloud.
+
+        The preflight sizes for the init cloud (the largest gaussians of
+        the run, pre-split); once densification ends the splits have shrunk
+        everything and the remaining iterations pay the stale pair budget
+        on every step (measured: large_frac escalated to 0.96 on the 30k
+        512² case = a 12M-pair sort per step).  Costs one recompile; the
+        runtime escalation loop stays live as the safety net, so the
+        capped flags reset."""
+        sides, n_frames = probe_tile_spans(
+            state.gaussians, self.faces, data, self.width, self.height,
+            self.render_cfg["tile"], n_probe)
+        updates = size_binning_windows(
+            sides, n_frames, self.render_cfg,
+            int(state.gaussians.capacity), self.MAX_TILE_WINDOW,
+            allow_shrink=True)
+        if updates:
+            self.render_cfg.update(updates)
+            self._window_capped = False
+            self._frac_capped = False
+            log.info(
+                f"post-densification window refit: max_tiles_per_gaussian="
+                f"{self.render_cfg['max_tiles_per_gaussian']} "
+                f"large_frac={self.render_cfg['large_frac']:.3f}")
+            self._recompile_step_fns()
 
     def grow_tile_window(self) -> bool:
         """Double max_tiles_per_gaussian (recompiles the step fns).
@@ -875,6 +922,15 @@ class AvatarTrainer:
                 state = self.maybe_grow_capacity(state)
                 max_new = max(state.gaussians.capacity // 16, 1)
                 state = self._densify_fn(state, sub, max_new)
+
+            if (cfg.densify_interval > 0 and it >= densify_until
+                    and iterations - it >= self.REFIT_MIN_REMAINING
+                    and not self._refit_done):
+                # once, right after densification ends: shrink the binning
+                # windows to the post-split cloud (one recompile amortized
+                # over the remaining >= REFIT_MIN_REMAINING iterations)
+                self._refit_done = True
+                self.refit_tile_window(state, data)
 
             if cfg.opacity_reset_interval > 0 and it % cfg.opacity_reset_interval == 0 and it < densify_until:
                 state = self.reset_opacity(state)

@@ -365,6 +365,32 @@ def test_large_frac_auto_grows_on_spill(scene):
     assert trainer.render_cfg["large_frac"] > 8 / 512
 
 
+def test_post_densification_window_refit_shrinks(scene):
+    """After densification ends, the binning windows must re-fit to the
+    post-split cloud: carrying the preflight/escalated budget through the
+    refinement phase measured a 12M-pair sort per step on the 30k 512^2
+    case (round 4)."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=60, densify_from=5, densify_interval=10,
+                      densify_until_frac=0.5, opacity_reset_interval=0,
+                      max_gaussians=2048, batch_frames=1)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=128, use_pallas="never")
+    trainer.REFIT_MIN_REMAINING = 10
+    state = trainer.init_state(capacity=2048)
+    # simulate a mid-run escalation that left the budget inflated
+    trainer.render_cfg["max_tiles_per_gaussian"] = 64
+    trainer.render_cfg["large_frac"] = 0.9
+    trainer._recompile_step_fns()
+    state = trainer.train(_data(cam, verts, img), iterations=60,
+                          state=state, log_every=100000)
+    assert trainer._refit_done
+    assert trainer.render_cfg["max_tiles_per_gaussian"] < 64
+    assert trainer.render_cfg["large_frac"] < 0.9
+    # escalation stays live as the safety net after a shrink
+    assert not trainer._window_capped and not trainer._frac_capped
+
+
 def test_capacity_growth_with_co_opt_stays_finite(scene):
     """Regression (round 4, found by the 30k 512^2 run): capacity growth
     padded new dead slots with ZERO quaternions, whose normalization has a
