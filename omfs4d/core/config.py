@@ -143,6 +143,15 @@ class TrainConfig:
     lr_flame_final_scale: float = 0.03
     seed: int = 0
     sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
+    # once densification ends the alive count is frozen, but capacity is
+    # wherever doubling growth left it (often ~2x alive) — and EVERY
+    # per-gaussian op (projection, binding, SH eval, Adam, binning pair
+    # expansion, gradient scatter) is sized by capacity, not alive.
+    # Compacting the state to alive*compact_slack at the refit boundary
+    # (one recompile) cuts that dead-padding tax for the entire
+    # refinement phase.
+    compact_at_refit: bool = True
+    compact_slack: float = 1.125    # capacity headroom over alive post-compact
 
 
 @dataclass

@@ -676,6 +676,54 @@ class AvatarTrainer:
                 gaussians=resized.gaussians._replace(quat_local=q))
         return resized._replace(flame_params=flame[0], flame_opt_state=flame[1])
 
+    @staticmethod
+    def compact_state(state: TrainState, new_capacity: int) -> TrainState:
+        """Permute alive gaussians to the front and slice capacity down.
+
+        Unlike `resize_state_capacity` (pad/slice in place), alive rows are
+        scattered across the capacity block after densification writes into
+        dead slots, so shrinking needs a permutation first.  The stable
+        argsort keeps the relative order of alive rows, and every
+        capacity-leading leaf — gaussian params, Adam moments, densify
+        accumulators — moves under the SAME permutation, so training
+        continues bit-for-bit on each surviving row."""
+        old = state.gaussians.capacity
+        if new_capacity >= old:
+            return state
+        order = jnp.argsort(~state.gaussians.alive, stable=True)
+
+        def fix(leaf):
+            if not (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == old):
+                return leaf
+            return leaf[order[:new_capacity]]
+
+        flame = (state.flame_params, state.flame_opt_state)
+        compacted = jax.tree_util.tree_map(
+            fix, state._replace(flame_params=None, flame_opt_state=None))
+        return compacted._replace(flame_params=flame[0],
+                                  flame_opt_state=flame[1])
+
+    def compact_to_alive(self, state: TrainState) -> TrainState:
+        """Shrink capacity to ~cfg.compact_slack x the alive count.
+
+        Meant for the post-densification boundary: alive is frozen from
+        here on (densify/prune/opacity-reset all gate on it < densify_until)
+        but capacity sits wherever doubling growth left it — typically ~2x
+        alive — and every per-gaussian op pays for the dead padding.  Costs
+        one step recompile (new shapes), amortized over the remaining
+        refinement iterations.  Rounded up to a 1024 multiple so repeat
+        runs at similar scales reuse compile-cache entries."""
+        cap = state.gaussians.capacity
+        alive = int(jnp.sum(state.gaussians.alive))
+        m = self.COMPACT_MULTIPLE
+        new_cap = int(np.ceil(alive * self.cfg.compact_slack / m) * m)
+        if new_cap >= cap:
+            return state
+        log.info(f"post-densification compaction: capacity {cap} -> "
+                 f"{new_cap} ({alive} alive; step fns recompile)")
+        return self.compact_state(state, new_cap)
+
     def maybe_grow_capacity(self, state: TrainState) -> TrainState:
         """Double capacity when the live count nears it (<= max_gaussians).
         Costs one step-fn recompile; init_state's 6x headroom makes this a
@@ -692,6 +740,9 @@ class AvatarTrainer:
         return self.resize_state_capacity(state, new_cap)
 
     REFIT_MIN_REMAINING = 2000
+    # compacted capacity rounds up to this multiple so repeat runs at
+    # similar scales reuse compile-cache entries
+    COMPACT_MULTIPLE = 1024
 
     def refit_tile_window(self, state: TrainState, data: dict,
                           n_probe: int = 4) -> None:
@@ -926,10 +977,13 @@ class AvatarTrainer:
             if (cfg.densify_interval > 0 and it >= densify_until
                     and iterations - it >= self.REFIT_MIN_REMAINING
                     and not self._refit_done):
-                # once, right after densification ends: shrink the binning
-                # windows to the post-split cloud (one recompile amortized
-                # over the remaining >= REFIT_MIN_REMAINING iterations)
+                # once, right after densification ends: drop the dead
+                # capacity padding and shrink the binning windows to the
+                # post-split cloud (one recompile amortized over the
+                # remaining >= REFIT_MIN_REMAINING iterations)
                 self._refit_done = True
+                if self.cfg.compact_at_refit:
+                    state = self.compact_to_alive(state)
                 self.refit_tile_window(state, data)
 
             if cfg.opacity_reset_interval > 0 and it % cfg.opacity_reset_interval == 0 and it < densify_until:
@@ -1031,15 +1085,18 @@ class AvatarTrainer:
         template = self.resize_state_capacity(template, saved_cap)
         state = restore_state(path, template=template)
         if meta:
+            # adopt the saved window state EXACTLY — growing toward it by
+            # doubling overshoots values the refit/preflight set directly
+            # (e.g. side^2 = 25), changing binning vs the original run
             want = int(meta.get("max_tiles_per_gaussian",
                                 self.render_cfg["max_tiles_per_gaussian"]))
-            while self.render_cfg["max_tiles_per_gaussian"] < want:
-                if not self.grow_tile_window():
-                    break
-            want_frac = float(meta.get("large_frac",
-                                       self.render_cfg["large_frac"]))
-            while self.render_cfg["large_frac"] < want_frac:
-                if not self.grow_large_frac():
-                    break
+            want = min(want, self.MAX_TILE_WINDOW)
+            want_frac = min(float(meta.get(
+                "large_frac", self.render_cfg["large_frac"])), 1.0)
+            if (want != self.render_cfg["max_tiles_per_gaussian"]
+                    or want_frac != self.render_cfg["large_frac"]):
+                self.render_cfg["max_tiles_per_gaussian"] = want
+                self.render_cfg["large_frac"] = want_frac
+                self._recompile_step_fns()
         log.info(f"resumed from checkpoint iter {it} ({path})")
         return state, it

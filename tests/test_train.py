@@ -391,6 +391,87 @@ def test_post_densification_window_refit_shrinks(scene):
     assert not trainer._window_capped and not trainer._frac_capped
 
 
+def test_compact_state_is_exact_permutation(scene):
+    """`compact_state` must move every capacity-leading leaf — gaussian
+    params, Adam moments, densify accumulators — under the SAME stable
+    permutation (alive rows first, relative order kept), so training
+    continues bit-for-bit on each surviving row."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=4, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=512,
+                      optimize_flame=False)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, use_pallas="never")
+    state = trainer.init_state(capacity=512)
+    # a couple of steps so the Adam moments are non-zero (a pure-zero state
+    # would hide a permutation mismatch between params and moments)
+    data = _data(cam, verts, img)
+    for _ in range(2):
+        state, _ = trainer._step_fn(state, data, jnp.zeros((1,), jnp.int32))
+
+    # kill a scattered subset so alive rows are non-contiguous
+    alive = np.asarray(state.gaussians.alive).copy()
+    alive_idx = np.flatnonzero(alive)
+    alive[alive_idx[::3]] = False
+    state = state._replace(
+        gaussians=state.gaussians._replace(alive=jnp.asarray(alive)))
+    keep = np.flatnonzero(alive)          # original rows, original order
+
+    new_cap = 384
+    assert len(keep) <= new_cap
+    compact = trainer.compact_state(state, new_cap)
+    assert compact.gaussians.capacity == new_cap
+    assert int(np.asarray(compact.gaussians.alive).sum()) == len(keep)
+    n = len(keep)
+    for f in ("parent_face", "mu_local", "quat_local", "log_scale",
+              "opacity_logit", "color", "sh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(compact.gaussians, f))[:n],
+            np.asarray(getattr(state.gaussians, f))[keep], err_msg=f)
+    np.testing.assert_array_equal(
+        np.asarray(compact.grad_accum)[:n], np.asarray(state.grad_accum)[keep])
+
+    # Adam moments follow the identical permutation
+    def cap_leaves(tree, cap):
+        return [l for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == cap]
+
+    old_moments = cap_leaves(state.opt_state, 512)
+    new_moments = cap_leaves(compact.opt_state, new_cap)
+    assert len(old_moments) == len(new_moments) > 0
+    for o, c in zip(old_moments, new_moments):
+        np.testing.assert_array_equal(np.asarray(c)[:n], np.asarray(o)[keep])
+
+
+def test_compact_at_refit_drops_dead_padding(scene):
+    """Once densification ends, the trainer compacts capacity down to
+    ~compact_slack x alive (the dead padding taxes every per-gaussian op
+    for the whole refinement phase) and training continues finite."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=60, densify_from=5, densify_interval=10,
+                      densify_until_frac=0.5, opacity_reset_interval=0,
+                      max_gaussians=4096, batch_frames=1,
+                      optimize_flame=False)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=128, use_pallas="never")
+    trainer.REFIT_MIN_REMAINING = 10
+    trainer.COMPACT_MULTIPLE = 64
+    state = trainer.init_state(capacity=4096)
+    n_alive0 = int(np.asarray(state.gaussians.alive).sum())
+    state = trainer.train(_data(cam, verts, img), iterations=60,
+                          state=state, log_every=100000)
+    assert trainer._refit_done
+    n_alive = int(np.asarray(state.gaussians.alive).sum())
+    assert n_alive >= n_alive0          # densification ran
+    assert state.gaussians.capacity < 4096, "compaction must shrink capacity"
+    assert state.gaussians.capacity >= n_alive
+    expected = int(np.ceil(n_alive * cfg.compact_slack / 64) * 64)
+    assert state.gaussians.capacity == expected
+    g = state.gaussians
+    for f in ("mu_local", "log_scale", "opacity_logit", "quat_local"):
+        assert np.isfinite(np.asarray(getattr(g, f))).all(), f
+
+
 def test_capacity_growth_with_co_opt_stays_finite(scene):
     """Regression (round 4, found by the 30k 512^2 run): capacity growth
     padded new dead slots with ZERO quaternions, whose normalization has a
