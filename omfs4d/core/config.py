@@ -121,6 +121,13 @@ class TrainConfig:
     opacity_reset_interval: int = 3000
     prune_opacity: float = 5e-3
     prune_scale: float = 8.0        # prune gaussians larger than this (in triangle units)
+    # prune gaussians that received ZERO gradient over a whole densify
+    # window: under the depth-sorted per-tile K cap (the TPU analogue of
+    # CUDA's per-pixel early termination) such gaussians can never recover
+    # — no gradient can shrink/fade them — while still inflating the
+    # binning pair budget and crowding supervised gaussians out of the
+    # K-nearest lists
+    prune_zero_observed: bool = True
     max_gaussians: int = 200_000
     batch_frames: int = 1           # frames per step (data-parallel axis)
     # co-optimize tracked FLAME pose/expression during avatar training —

@@ -353,22 +353,28 @@ class ShardedAvatarTrainer:
         cfg = self.cfg
         ax = self.axis
 
+        # the zero-observation prune's vacuous-window guard must see the
+        # GLOBAL observation flag (a shard whose gaussians all went
+        # unobserved must still prune them, matching the replicated
+        # trainer), so it is computed outside and replicated in
+        observed = jnp.any(state.grad_count > 0)
+
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(jax.tree_util.tree_map(lambda _: P(ax),
                                              state.gaussians),
-                      P(ax), P(ax), P(ax)),
+                      P(ax), P(ax), P(ax), P()),
             out_specs=(jax.tree_util.tree_map(lambda _: P(ax),
                                               state.gaussians),
                        P(ax), P(ax)),
             check_vma=False,
         )
-        def _local(g_loc, accum, count, key):
+        def _local(g_loc, accum, count, key, obs):
             return densify_prune_arrays(g_loc, accum, count, key[0],
-                                        max_new, cfg)
+                                        max_new, cfg, window_observed=obs)
 
         g2, slots, ok = _local(state.gaussians, state.grad_accum,
-                               state.grad_count, keys)
+                               state.grad_count, keys, observed)
         N = state.gaussians.capacity
         cap_local = N // self.n_dev
 

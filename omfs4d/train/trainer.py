@@ -158,7 +158,8 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
 
 def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
                          grad_count: jnp.ndarray, key: jnp.ndarray,
-                         max_new: int, cfg: TrainConfig):
+                         max_new: int, cfg: TrainConfig,
+                         window_observed=None):
     """Fixed-capacity densify/clone/split/prune on raw gaussian arrays.
 
     Pure function of one capacity block, so it runs either globally
@@ -210,6 +211,27 @@ def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
         & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
         & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
     )
+    if cfg.prune_zero_observed:
+        # TPU-specific prune: a gaussian past the per-tile K-nearest cap
+        # (or alpha-cut in every sampled frame) receives ZERO gradient all
+        # window — it can never shrink, fade, or be opacity-reset back into
+        # view, yet it keeps inflating the pair/binning budget.  The CUDA
+        # rasterizer has no K cap (per-pixel early termination instead), so
+        # its occluded gaussians are merely idle; under a depth-sorted K cap
+        # they actively squeeze supervised gaussians out of the lists (the
+        # 30k 512^2 run ballooned to 158k alive with 49% window-clipped and
+        # ~13 it/s this way).  grad_count resets every densify window, so
+        # "alive through the window with zero observations" is exact; the
+        # children just written this event are kept (their count starts 0).
+        # vacuous-window guard: if NOTHING was observed (densify invoked
+        # without intervening train steps) the signal is absent, not zero.
+        # `window_observed` lets shard-local callers pass the GLOBAL flag
+        # (a shard with no observed gaussians must still prune, matching
+        # the replicated trainer exactly).
+        obs = (jnp.any(grad_count > 0) if window_observed is None
+               else window_observed)
+        unobserved = (g.alive & (grad_count <= 0)) & obs
+        alive = alive & ~unobserved
     return g2._replace(alive=alive), slots, ok
 
 

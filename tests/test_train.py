@@ -103,8 +103,11 @@ class TestOverfit:
 class TestDensify:
     def test_densify_increases_alive(self, scene):
         model, cam, verts, img = scene
+        # zero-observation pruning off: this test isolates the densify-adds
+        # mechanics, and the single test camera leaves part of the init
+        # cloud legitimately unobserved (which that prune would remove)
         cfg = TrainConfig(iterations=50, densify_grad_threshold=1e-7,
-                          max_gaussians=4096)
+                          max_gaussians=4096, prune_zero_observed=False)
         trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
                                 max_per_tile=256, use_pallas="never")
         state = trainer.init_state(capacity=4096)
@@ -391,6 +394,40 @@ def test_post_densification_window_refit_shrinks(scene):
     assert not trainer._window_capped and not trainer._frac_capped
 
 
+def test_prune_zero_observed_kills_unsupervised(scene):
+    """A gaussian that received no gradient over a whole densify window
+    (past the per-tile K cap or alpha-cut everywhere) can never recover —
+    prune it.  Fresh children and observed gaussians survive; a vacuous
+    window (no train steps at all) prunes nothing."""
+    from omfs4d.train.trainer import densify_prune_arrays
+
+    model, cam, verts, img = scene
+    cfg = TrainConfig(max_gaussians=512, densify_grad_threshold=1e30)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            use_pallas="never")
+    g = trainer.init_state(capacity=512).gaussians
+    n = int(np.asarray(g.alive).sum())
+    assert n > 4
+
+    # half the alive rows observed, half not
+    count = np.zeros(512, np.float32)
+    alive_idx = np.flatnonzero(np.asarray(g.alive))
+    count[alive_idx[: n // 2]] = 3.0
+    accum = count * 1e-9      # tiny grads: nothing qualifies for densify
+    g2, _, _ = densify_prune_arrays(
+        g, jnp.asarray(accum), jnp.asarray(count), jax.random.PRNGKey(0),
+        max_new=16, cfg=cfg)
+    alive2 = np.asarray(g2.alive)
+    assert alive2[alive_idx[: n // 2]].all()          # observed survive
+    assert not alive2[alive_idx[n // 2:]].any()       # unobserved pruned
+
+    # vacuous window: zero counts everywhere -> nothing pruned
+    g3, _, _ = densify_prune_arrays(
+        g, jnp.zeros(512), jnp.zeros(512), jax.random.PRNGKey(0),
+        max_new=16, cfg=cfg)
+    assert int(np.asarray(g3.alive).sum()) == n
+
+
 def test_compact_state_is_exact_permutation(scene):
     """`compact_state` must move every capacity-leading leaf — gaussian
     params, Adam moments, densify accumulators — under the SAME stable
@@ -451,7 +488,7 @@ def test_compact_at_refit_drops_dead_padding(scene):
     cfg = TrainConfig(iterations=60, densify_from=5, densify_interval=10,
                       densify_until_frac=0.5, opacity_reset_interval=0,
                       max_gaussians=4096, batch_frames=1,
-                      optimize_flame=False)
+                      optimize_flame=False, prune_zero_observed=False)
     trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
                             max_per_tile=128, use_pallas="never")
     trainer.REFIT_MIN_REMAINING = 10
