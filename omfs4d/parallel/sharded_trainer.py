@@ -298,6 +298,55 @@ class ShardedAvatarTrainer:
             log.info(f"[sharded] post-densification window refit: {updates}")
             self._recompile_step_fns()
 
+    COMPACT_MULTIPLE = 1024
+
+    def compact_to_alive(self, state: TrainState) -> TrainState:
+        """Per-shard compaction to a common shrunk local capacity.
+
+        Mirrors AvatarTrainer.compact_to_alive at the post-densification
+        boundary: each shard stably permutes its alive rows to the front
+        and slices to the SAME new local capacity (shards must agree on
+        static shapes), sized by the fullest shard.  Per-shard densify
+        writes into local dead slots, so shard alive counts stay roughly
+        balanced and the max-shard sizing wastes little."""
+        cap = state.gaussians.capacity
+        local = cap // self.n_dev
+        alive_per_shard = np.asarray(state.gaussians.alive).reshape(
+            self.n_dev, local).sum(axis=1)
+        m = self.COMPACT_MULTIPLE
+        new_local = int(np.ceil(
+            alive_per_shard.max() * self.cfg.compact_slack / m) * m)
+        if new_local >= local:
+            return state
+        ax = self.axis
+
+        flame = (state.flame_params, state.flame_opt_state)
+        bare = state._replace(flame_params=None, flame_opt_state=None)
+        specs = jax.tree_util.tree_map(
+            lambda l: P(ax) if (hasattr(l, "ndim") and l.ndim >= 1
+                                and l.shape[0] == cap) else P(),
+            bare)
+
+        @functools.partial(shard_map, mesh=self.mesh,
+                           in_specs=(specs,), out_specs=specs,
+                           check_vma=False)
+        def _compact(st):
+            order = jnp.argsort(~st.gaussians.alive, stable=True)
+
+            def fix(leaf):
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                        and leaf.shape[0] == local):
+                    return leaf[order[:new_local]]
+                return leaf
+
+            return jax.tree_util.tree_map(fix, st)
+
+        log.info(f"[sharded] post-densification compaction: local capacity "
+                 f"{local} -> {new_local} x {self.n_dev} shards "
+                 f"(per-shard alive {alive_per_shard.tolist()})")
+        out = _compact(bare)
+        return out._replace(flame_params=flame[0], flame_opt_state=flame[1])
+
     def grow_tile_window(self) -> bool:
         cur = self.render_opts["max_tiles_per_gaussian"]
         if cur >= self.MAX_TILE_WINDOW:
@@ -519,6 +568,8 @@ class ShardedAvatarTrainer:
                     and iterations - it >= self.REFIT_MIN_REMAINING
                     and not self._refit_done):
                 self._refit_done = True
+                if cfg.compact_at_refit:
+                    state = self.compact_to_alive(state)
                 self.refit_tile_window(state, data)
             if (cfg.opacity_reset_interval > 0
                     and it % cfg.opacity_reset_interval == 0

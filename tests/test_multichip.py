@@ -308,6 +308,83 @@ def test_sharded_trainer_matches_replicated_curve():
     assert len(shard_dev) == 4
 
 
+def test_sharded_compaction_is_exact_and_shrinks():
+    """Per-shard compact_to_alive: every shard permutes alive rows to the
+    front and slices to a COMMON new local capacity; surviving rows (params
+    and Adam moments) are bit-identical, and the next step runs finite on
+    the smaller state."""
+    from jax.sharding import Mesh
+    from omfs4d.core.config import TrainConfig
+    from omfs4d.models.assets import synthetic_flame_asset
+    from omfs4d.models.flame import FlameModel, flame_forward
+    from omfs4d.models.gaussians import init_gaussians_on_mesh
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.parallel.sharded_trainer import ShardedAvatarTrainer
+    from omfs4d.io.synthetic import textured_gt_avatar
+    from omfs4d.render.rasterize import render_avatar_frame
+
+    S = 32
+    model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=400, seed=0))
+    cam = look_at_camera(eye=(0, 0, 0.5), target=(0, 0, 0), fx=1.6 * S,
+                         width=S, height=S)
+    verts = flame_forward(model, {"shape": jnp.zeros(300),
+                                  "expr": jnp.zeros((1, 100))})
+    gt_avatar = textured_gt_avatar(model)
+    gt_img, _ = render_avatar_frame(gt_avatar, verts[0], model.faces, cam,
+                                    S, S, backend="never", max_per_tile=512)
+    images = (np.clip(np.asarray(gt_img), 0, 1) * 255).astype(np.uint8)[None]
+    data = {
+        "images": jnp.asarray(images), "verts": jnp.asarray(verts),
+        "w2c": jnp.asarray(np.asarray(cam.w2c))[None],
+        "fx": jnp.asarray([cam.fx]), "fy": jnp.asarray([cam.fy]),
+        "cx": jnp.asarray([cam.cx]), "cy": jnp.asarray([cam.cy]),
+    }
+    cfg = TrainConfig(iterations=4, densify_interval=0, batch_frames=1,
+                      opacity_reset_interval=0, max_gaussians=2048,
+                      sh_degree=1)
+    g0 = init_gaussians_on_mesh(np.asarray(model.faces), 2048, seed=0,
+                                sh_degree=1)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("gauss",))
+    tr = ShardedAvatarTrainer(np.asarray(model.faces), cfg, S, S,
+                              mesh=mesh, max_per_tile=512)
+    tr.COMPACT_MULTIPLE = 128
+    ss = tr.init_state(gaussians=g0)
+    for _ in range(2):       # non-zero Adam moments
+        ss, _ = tr.step(ss, data, 0)
+
+    # kill a scattered two-thirds so each shard has real dead padding
+    alive = np.asarray(ss.gaussians.alive).copy()
+    idx = np.flatnonzero(alive)
+    alive[idx[np.arange(len(idx)) % 3 != 0]] = False
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ss = ss._replace(gaussians=ss.gaussians._replace(
+        alive=jax.device_put(jnp.asarray(alive),
+                             NamedSharding(mesh, P("gauss")))))
+
+    local = 2048 // 4
+    alive = np.asarray(ss.gaussians.alive)
+    keep = [np.flatnonzero(alive.reshape(4, local)[s]) + s * local
+            for s in range(4)]
+    mu_before = np.asarray(ss.gaussians.mu_local)
+
+    cs = tr.compact_to_alive(ss)
+    new_cap = cs.gaussians.capacity
+    assert new_cap < 2048
+    new_local = new_cap // 4
+    per_shard_alive = max(len(k) for k in keep)
+    assert new_local == int(np.ceil(
+        per_shard_alive * cfg.compact_slack / 128) * 128)
+    # surviving rows bit-identical, per shard, order kept
+    mu_after = np.asarray(cs.gaussians.mu_local).reshape(4, new_local, 3)
+    for s in range(4):
+        np.testing.assert_array_equal(mu_after[s, : len(keep[s])],
+                                      mu_before[keep[s]])
+    assert int(np.asarray(cs.gaussians.alive).sum()) == sum(map(len, keep))
+    # training continues finite on the compacted state
+    cs, m = tr.step(cs, data, 0)
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
 def test_frame_dp_mesh_trainer_matches_unsharded():
     """AvatarTrainer(mesh=...) — the pipeline's parallel.n_data path — must
