@@ -164,6 +164,14 @@ def main():
     state = trainer.init_state(capacity=capacity)
     state = state._replace(gaussians=g,
                            opt_state=trainer.optimizer.init(float_fields(g)))
+    # measure the refinement-phase steady state the trainer actually runs:
+    # compact_to_alive fires at the post-densification refit boundary and
+    # drops the dead capacity padding (alive*1.125 here vs the 2x headroom
+    # a doubling growth leaves), which every per-gaussian op pays for
+    if cfg.compact_at_refit:
+        state = trainer.compact_to_alive(state)
+        _mark(f"post-refit compaction: capacity {capacity} -> "
+              f"{state.gaussians.capacity} ({target_alive} alive)")
 
     T = 4
     params = {"shape": jnp.zeros(300), "expr": jnp.zeros((T, 100)),
