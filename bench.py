@@ -53,30 +53,89 @@ def tpu_healthcheck(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def pallas_smoke_ok() -> bool:
-    """Compile + run the Pallas composite on a tiny input; fall back if broken."""
-    try:
-        import jax
-        import jax.numpy as jnp
-        from omfs4d.ops.camera import look_at_camera, project_gaussians
-        from omfs4d.render.rasterize import bin_gaussians
-        from omfs4d.render.pallas_kernels import composite_pallas
+_SMOKE_CODE = """
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from omfs4d.ops.camera import look_at_camera, project_gaussians
+from omfs4d.render.rasterize import bin_gaussians
+from omfs4d.render.pallas_kernels import composite_pallas
 
-        cam = look_at_camera(eye=(0, 0, -2.0), target=(0, 0, 0), fx=60.0,
-                             width=32, height=32)
-        means = jnp.zeros((8, 3), jnp.float32)
-        rot = jnp.tile(jnp.eye(3)[None], (8, 1, 1))
-        scales = jnp.full((8, 3), 0.05, jnp.float32)
-        opac = jnp.full((8,), 0.5, jnp.float32)
-        cols = jnp.full((8, 3), 0.5, jnp.float32)
-        proj = project_gaussians(cam, means, rot, scales)
-        binning = bin_gaussians(proj, opac, 32, 32, tile=16, max_per_tile=128)
-        img, _ = composite_pallas(proj["uv"], proj["conic"], cols, opac,
-                                  binning, 32, 32, tile=16)
-        return bool(np.isfinite(np.asarray(img)).all())
-    except Exception as e:  # noqa: BLE001
-        print(f"# pallas smoke failed, using XLA composite: {e}", file=sys.stderr)
+cam = look_at_camera(eye=(0, 0, -2.0), target=(0, 0, 0), fx=60.0,
+                     width=32, height=32)
+means = jnp.zeros((8, 3), jnp.float32)
+rot = jnp.tile(jnp.eye(3)[None], (8, 1, 1))
+scales = jnp.full((8, 3), 0.05, jnp.float32)
+opac = jnp.full((8,), 0.5, jnp.float32)
+cols = jnp.full((8, 3), 0.5, jnp.float32)
+proj = project_gaussians(cam, means, rot, scales)
+binning = bin_gaussians(proj, opac, 32, 32, tile=16, max_per_tile=128)
+img, _ = composite_pallas(proj["uv"], proj["conic"], cols, opac,
+                          binning, 32, 32, tile=16)
+assert np.isfinite(np.asarray(img)).all()
+"""
+
+
+def pallas_smoke_ok(timeout_s: float = 300.0) -> bool:
+    """Compile + run the Pallas composite on a tiny input; fall back if broken.
+
+    Runs in a SUBPROCESS with its own timeout: the r04 bench was lost to a
+    ~25-min tunnel stall inside this smoke's Mosaic compile — in-process it
+    consumed the (one-shot) watchdog alarm, and the XLA fallback then ran
+    unguarded past the driver budget without emitting JSON.  A subprocess
+    hang costs exactly `timeout_s` and poisons nothing.
+    """
+    import subprocess
+
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _SMOKE_CODE],
+            timeout=timeout_s,
+            capture_output=True,
+            env=env,
+        )
+        if r.returncode != 0:
+            tail = r.stderr.decode(errors="replace").strip().splitlines()[-3:]
+            print(f"# pallas smoke failed, using XLA composite: {tail}",
+                  file=sys.stderr)
+        return r.returncode == 0
+    except Exception as e:  # noqa: BLE001 — timeout or spawn failure
+        print(f"# pallas smoke failed, using XLA composite: {type(e).__name__}",
+              file=sys.stderr)
         return False
+
+
+# ── global deadline ──────────────────────────────────────────
+# The driver kills bench at an unknown budget (r04: rc=124 with no JSON).
+# Every phase re-arms SIGALRM with min(phase cap, time to deadline); a
+# phase that trips the alarm raises TimeoutError into its own try/except,
+# records nan, and the NEXT phase gets a fresh alarm.  When the deadline
+# is closer than 45 s, remaining phases are skipped outright so the JSON
+# line always prints.
+_DEADLINE = [float("inf")]
+
+
+def _remaining() -> float:
+    return _DEADLINE[0] - time.monotonic()
+
+
+def _arm(phase_cap: float = 420.0) -> bool:
+    """(Re-)arm the watchdog for one phase; False if out of budget."""
+    import signal
+
+    left = _remaining()
+    if left < 45.0:
+        return False
+    try:
+        signal.alarm(max(int(min(phase_cap, left - 30.0)), 1))
+    except (ValueError, OSError):
+        pass
+    return True
 
 
 def main():
@@ -94,6 +153,11 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         args.quick = True
+
+    # smoke the Pallas composite BEFORE this process opens the TPU: it runs
+    # in a subprocess (own timeout), and a second process may not be able to
+    # attach to a chip the parent already holds
+    pallas_ok = tpu_ok and pallas_smoke_ok()
 
     import jax
     if not tpu_ok:
@@ -121,8 +185,9 @@ def main():
     max_per_tile = 128 if quick else 256
 
     _mark("jax init")
+    _arm()
     backend = jax.default_backend()
-    use_pallas = "always" if (backend == "tpu" and pallas_smoke_ok()) else "never"
+    use_pallas = "always" if (backend == "tpu" and pallas_ok) else "never"
 
     _mark(f"backend={backend} pallas={use_pallas}")
     model = FlameModel.from_asset(synthetic_flame_asset(n_vertices=n_vertices))
@@ -189,6 +254,8 @@ def main():
     idx0 = jnp.zeros((1,), jnp.int32)
     _mark("compiling train step")
     try:
+        if not _arm():
+            raise TimeoutError("bench budget exhausted before train phase")
         state, m = trainer._step_fn(state, data, idx0)      # compile + warmup
         jax.block_until_ready(m["loss"])
         t0 = time.perf_counter()
@@ -205,6 +272,8 @@ def main():
     # ── render-only fps ──────────────────────────────────────
     _mark("compiling render")
     try:
+        if not _arm():
+            raise TimeoutError("bench budget exhausted before render phase")
         img = trainer.render_frame(state, verts[0], cam)
         jax.block_until_ready(img)
         t0 = time.perf_counter()
@@ -255,6 +324,8 @@ def main():
 
     _mark("compiling flame fit")
     try:
+        if not _arm():
+            raise TimeoutError("bench budget exhausted before flame-fit phase")
         fit_jit = jax.jit(fit_chunk, donate_argnums=(0, 1))
         p, opt_state, loss = fit_jit(p, opt_state)
         jax.block_until_ready(loss)
@@ -282,6 +353,8 @@ def main():
     V5E_HBM_BW = 819e9          # bytes/s
     xla_flops = xla_bytes = None
     try:
+        if not _arm(120.0):
+            raise TimeoutError("bench budget exhausted before cost analysis")
         ca = trainer._step_fn.lower(state, data, idx0).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -368,9 +441,10 @@ if __name__ == "__main__":
     def _watchdog(sig, frame):  # noqa: ARG001
         raise TimeoutError("bench watchdog expired (TPU hang?)")
 
+    _DEADLINE[0] = time.monotonic() + float(
+        os.environ.get("OMFS4D_BENCH_BUDGET_SECS", "1500"))
     try:
         signal.signal(signal.SIGALRM, _watchdog)
-        signal.alarm(int(os.environ.get("OMFS4D_BENCH_WATCHDOG_SECS", "1500")))
     except (ValueError, OSError):
         pass  # non-main thread / unsupported platform
     try:
@@ -387,3 +461,8 @@ if __name__ == "__main__":
             "error": f"{type(e).__name__}: {e}",
         }))
         raise SystemExit(0)
+    finally:
+        try:
+            signal.alarm(0)
+        except (ValueError, OSError):
+            pass
