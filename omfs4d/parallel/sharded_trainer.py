@@ -314,18 +314,24 @@ class ShardedAvatarTrainer:
         alive_per_shard = np.asarray(state.gaussians.alive).reshape(
             self.n_dev, local).sum(axis=1)
         m = self.COMPACT_MULTIPLE
-        new_local = int(np.ceil(
-            alive_per_shard.max() * self.cfg.compact_slack / m) * m)
+        # every-shard-empty (degenerate) must not slice to 0 — keep a block
+        new_local = max(int(np.ceil(
+            alive_per_shard.max() * self.cfg.compact_slack / m) * m), m)
         if new_local >= local:
             return state
         ax = self.axis
 
         flame = (state.flame_params, state.flame_opt_state)
         bare = state._replace(flame_params=None, flame_opt_state=None)
+        # tag capacity-leading leaves ONCE, from the same predicate that
+        # picks the in/out specs — inside the shard_map a replicated leaf
+        # whose leading dim happens to equal cap//n_dev must NOT be
+        # permuted by shard-local alive order
+        is_cap = jax.tree_util.tree_map(
+            lambda l: bool(hasattr(l, "ndim") and l.ndim >= 1
+                           and l.shape[0] == cap), bare)
         specs = jax.tree_util.tree_map(
-            lambda l: P(ax) if (hasattr(l, "ndim") and l.ndim >= 1
-                                and l.shape[0] == cap) else P(),
-            bare)
+            lambda tag: P(ax) if tag else P(), is_cap)
 
         @functools.partial(shard_map, mesh=self.mesh,
                            in_specs=(specs,), out_specs=specs,
@@ -333,13 +339,10 @@ class ShardedAvatarTrainer:
         def _compact(st):
             order = jnp.argsort(~st.gaussians.alive, stable=True)
 
-            def fix(leaf):
-                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                        and leaf.shape[0] == local):
-                    return leaf[order[:new_local]]
-                return leaf
+            def fix(leaf, tag):
+                return leaf[order[:new_local]] if tag else leaf
 
-            return jax.tree_util.tree_map(fix, st)
+            return jax.tree_util.tree_map(fix, st, is_cap)
 
         log.info(f"[sharded] post-densification compaction: local capacity "
                  f"{local} -> {new_local} x {self.n_dev} shards "
@@ -415,15 +418,15 @@ class ShardedAvatarTrainer:
                       P(ax), P(ax), P(ax), P()),
             out_specs=(jax.tree_util.tree_map(lambda _: P(ax),
                                               state.gaussians),
-                       P(ax), P(ax)),
+                       P(ax), P(ax), P(ax)),
             check_vma=False,
         )
         def _local(g_loc, accum, count, key, obs):
             return densify_prune_arrays(g_loc, accum, count, key[0],
                                         max_new, cfg, window_observed=obs)
 
-        g2, slots, ok = _local(state.gaussians, state.grad_accum,
-                               state.grad_count, keys, observed)
+        g2, slots, ok, new_count = _local(state.gaussians, state.grad_accum,
+                                          state.grad_count, keys, observed)
         N = state.gaussians.capacity
         cap_local = N // self.n_dev
 
@@ -451,7 +454,7 @@ class ShardedAvatarTrainer:
             opt_state=opt2,
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
-            grad_count=jnp.zeros(N, jnp.float32),
+            grad_count=new_count,
             flame_params=state.flame_params,
             flame_opt_state=state.flame_opt_state,
         )
@@ -646,15 +649,19 @@ class ShardedAvatarTrainer:
                 flame_opt_state=jax.tree_util.tree_map(
                     lambda v: jax.device_put(jnp.asarray(v), rep), flame[1])
                 if flame[1] is not None else None)
-        want = int(meta.get("max_tiles_per_gaussian",
-                            self.render_opts["max_tiles_per_gaussian"]))
-        while self.render_opts["max_tiles_per_gaussian"] < want:
-            if not self.grow_tile_window():
-                break
-        want_frac = float(meta.get("large_frac",
-                                   self.render_opts["large_frac"]))
-        while self.render_opts["large_frac"] < want_frac:
-            if not self.grow_large_frac():
-                break
+        # adopt the saved window state EXACTLY (mirrors AvatarTrainer):
+        # growing toward it by doubling overshoots non-power-of-2 values the
+        # preflight/refit set directly (e.g. side^2 = 25), silently changing
+        # binning vs the original run
+        want = min(int(meta.get("max_tiles_per_gaussian",
+                                self.render_opts["max_tiles_per_gaussian"])),
+                   self.MAX_TILE_WINDOW)
+        want_frac = min(float(meta.get("large_frac",
+                                       self.render_opts["large_frac"])), 1.0)
+        if (want != self.render_opts["max_tiles_per_gaussian"]
+                or want_frac != self.render_opts["large_frac"]):
+            self.render_opts["max_tiles_per_gaussian"] = want
+            self.render_opts["large_frac"] = want_frac
+            self._recompile_step_fns()
         log.info(f"[sharded] resumed from checkpoint iter {it} ({path})")
         return state, it

@@ -156,6 +156,14 @@ def _render_with_probe(gaussians, probe, verts, faces, cam: Camera,
     return img, (binning.overflow, binning.window_clipped, binning.spilled)
 
 
+# grad_count seed for "alive through an observed window with zero
+# observations": any negative value works for the streak predicate; keep it
+# small so grad_avg = accum/max(count,1) stays near-exact for rows observed
+# o times after a mark (count = o - 0.25, worst-case avg inflation 1.14x at
+# o=2, -> 1x as o grows).
+UNSEEN_MARK = -0.25
+
+
 def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
                          grad_count: jnp.ndarray, key: jnp.ndarray,
                          max_new: int, cfg: TrainConfig,
@@ -165,7 +173,11 @@ def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
     Pure function of one capacity block, so it runs either globally
     (AvatarTrainer) or per-shard inside `shard_map` over the gaussian axis
     (parallel.sharded_trainer — each shard densifies into its own dead
-    slots, no collectives)."""
+    slots, no collectives).
+
+    Returns (g2, slots, ok, new_grad_count); callers must adopt
+    `new_grad_count` as the next window's counter — it carries the
+    UNSEEN_MARK streak state the zero-observation prune needs."""
     grad_avg = grad_accum / jnp.maximum(grad_count, 1.0)
     candidate = g.alive & (grad_avg > cfg.densify_grad_threshold)
     scores = jnp.where(candidate, grad_avg, -1.0)
@@ -211,6 +223,8 @@ def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
         & (jax.nn.sigmoid(g2.opacity_logit) > cfg.prune_opacity)
         & (jnp.exp(g2.log_scale).max(axis=-1) < cfg.prune_scale)
     )
+    obs = (jnp.any(grad_count > 0) if window_observed is None
+           else window_observed)
     if cfg.prune_zero_observed:
         # TPU-specific prune: a gaussian past the per-tile K-nearest cap
         # (or alpha-cut in every sampled frame) receives ZERO gradient all
@@ -220,19 +234,31 @@ def densify_prune_arrays(g: GaussianAvatar, grad_accum: jnp.ndarray,
         # its occluded gaussians are merely idle; under a depth-sorted K cap
         # they actively squeeze supervised gaussians out of the lists (the
         # 30k 512^2 run ballooned to 158k alive with 49% window-clipped and
-        # ~13 it/s this way).  grad_count resets every densify window, so
-        # "alive through the window with zero observations" is exact; the
-        # children just written this event are kept (their count starts 0).
+        # ~13 it/s this way).  Pruning fires only after TWO consecutive
+        # observed windows with zero observations: one window's silence can
+        # just mean the frames that see this gaussian weren't sampled
+        # (batch_frames=1 draws ~densify_interval of T frames) or a
+        # transient mid-densification crowd-out — grad_count < 0 means the
+        # row carried UNSEEN_MARK from the previous window's reset AND was
+        # never observed since.
         # vacuous-window guard: if NOTHING was observed (densify invoked
         # without intervening train steps) the signal is absent, not zero.
         # `window_observed` lets shard-local callers pass the GLOBAL flag
         # (a shard with no observed gaussians must still prune, matching
         # the replicated trainer exactly).
-        obs = (jnp.any(grad_count > 0) if window_observed is None
-               else window_observed)
-        unobserved = (g.alive & (grad_count <= 0)) & obs
-        alive = alive & ~unobserved
-    return g2._replace(alive=alive), slots, ok
+        unobserved2 = (g.alive & (grad_count < 0)) & obs
+        alive = alive & ~unobserved2
+        # next-window counter: surviving rows unseen this (observed) window
+        # get the mark — EXCEPT children written this event, which deserve
+        # a full two windows; a vacuous window keeps existing marks (no
+        # signal either way); everything else starts clean at 0.
+        fresh = jnp.zeros_like(g.alive).at[slots].set(ok)
+        unseen_now = alive & ~fresh & (grad_count <= 0) & obs
+        keep_mark = alive & (grad_count < 0) & ~obs
+        new_count = jnp.where(unseen_now | keep_mark, UNSEEN_MARK, 0.0)
+    else:
+        new_count = jnp.zeros_like(grad_count)
+    return g2._replace(alive=alive), slots, ok, new_count
 
 
 def zero_opt_rows(opt_state, slots: jnp.ndarray, ok: jnp.ndarray, capacity: int):
@@ -599,7 +625,7 @@ class AvatarTrainer:
 
     # ── densify / prune (jit, fixed capacity) ────────────────
     def _densify_prune(self, state: TrainState, key: jnp.ndarray, max_new: int):
-        g2, slots, ok = densify_prune_arrays(
+        g2, slots, ok, new_count = densify_prune_arrays(
             state.gaussians, state.grad_accum, state.grad_count, key,
             max_new, self.cfg)
         N = state.gaussians.capacity
@@ -615,7 +641,7 @@ class AvatarTrainer:
             opt_state=opt_state,
             step=state.step,
             grad_accum=jnp.zeros(N, jnp.float32),
-            grad_count=jnp.zeros(N, jnp.float32),
+            grad_count=new_count,
             flame_params=state.flame_params,
             flame_opt_state=state.flame_opt_state,
         )
@@ -660,7 +686,10 @@ class AvatarTrainer:
                 f"large_frac={self.render_cfg['large_frac']:.3f}")
             self._recompile_step_fns()
 
+    _recompiles = 0   # step-graph recompiles (window growth, compaction…)
+
     def _recompile_step_fns(self):
+        self._recompiles += 1
         self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
         self._chunk_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
         self._eval_fn = jax.jit(self._eval_frame)
@@ -739,7 +768,9 @@ class AvatarTrainer:
         cap = state.gaussians.capacity
         alive = int(jnp.sum(state.gaussians.alive))
         m = self.COMPACT_MULTIPLE
-        new_cap = int(np.ceil(alive * self.cfg.compact_slack / m) * m)
+        # alive == 0 (reachable in degenerate runs via the zero-observation
+        # prune) must not slice capacity to 0 — keep one block
+        new_cap = max(int(np.ceil(alive * self.cfg.compact_slack / m) * m), m)
         if new_cap >= cap:
             return state
         log.info(f"post-densification compaction: capacity {cap} -> "
@@ -984,6 +1015,15 @@ class AvatarTrainer:
                     f"iter {it}/{iterations} loss={m['loss']:.4f} "
                     f"psnr={m['psnr']:.2f} alive={int(m['n_alive'])}"
                 )
+                # long-run health signals (endurance soaks watch these for
+                # memory creep / recompile churn / checkpoint-thread pileup)
+                import resource
+                m["rss_mb"] = resource.getrusage(
+                    resource.RUSAGE_SELF).ru_maxrss / 1024.0
+                m["recompiles"] = self._recompiles
+                m["capacity"] = int(state.gaussians.capacity)
+                m["ckpt_threads"] = sum(
+                    t.is_alive() for t in (self._ckpt_threads or []))
                 events.emit("train_step", iter=it, **m)
 
             if (

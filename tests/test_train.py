@@ -48,6 +48,7 @@ def _data(cam, verts, img):
 
 
 class TestOverfit:
+    @pytest.mark.slow
     def test_single_frame_overfit(self, scene, tmp_path):
         model, cam, verts, img = scene
         cfg = TrainConfig(
@@ -264,6 +265,7 @@ def test_sh_gradients_flow(scene):
     assert np.abs(np.asarray(state.gaussians.sh) - s0).max() > 0
 
 
+@pytest.mark.slow
 def test_flame_co_optimization(scene):
     """cfg.optimize_flame refines tracked params jointly with gaussians —
     a deliberately wrong jaw pose must move toward the GT value."""
@@ -368,6 +370,7 @@ def test_large_frac_auto_grows_on_spill(scene):
     assert trainer.render_cfg["large_frac"] > 8 / 512
 
 
+@pytest.mark.slow
 def test_post_densification_window_refit_shrinks(scene):
     """After densification ends, the binning windows must re-fit to the
     post-split cloud: carrying the preflight/escalated budget through the
@@ -395,11 +398,13 @@ def test_post_densification_window_refit_shrinks(scene):
 
 
 def test_prune_zero_observed_kills_unsupervised(scene):
-    """A gaussian that received no gradient over a whole densify window
-    (past the per-tile K cap or alpha-cut everywhere) can never recover —
-    prune it.  Fresh children and observed gaussians survive; a vacuous
-    window (no train steps at all) prunes nothing."""
-    from omfs4d.train.trainer import densify_prune_arrays
+    """A gaussian with zero gradient over TWO consecutive observed densify
+    windows (past the per-tile K cap or alpha-cut everywhere) is pruned.
+    One silent window only MARKS it — the frames that see it may simply
+    not have been sampled that window — and an observation clears the
+    mark.  A vacuous window (no train steps at all) neither prunes nor
+    clears marks."""
+    from omfs4d.train.trainer import UNSEEN_MARK, densify_prune_arrays
 
     model, cam, verts, img = scene
     cfg = TrainConfig(max_gaussians=512, densify_grad_threshold=1e30)
@@ -409,23 +414,48 @@ def test_prune_zero_observed_kills_unsupervised(scene):
     n = int(np.asarray(g.alive).sum())
     assert n > 4
 
-    # half the alive rows observed, half not
+    # window 1: half the alive rows observed, half not
     count = np.zeros(512, np.float32)
     alive_idx = np.flatnonzero(np.asarray(g.alive))
     count[alive_idx[: n // 2]] = 3.0
     accum = count * 1e-9      # tiny grads: nothing qualifies for densify
-    g2, _, _ = densify_prune_arrays(
+    g2, _, _, count2 = densify_prune_arrays(
         g, jnp.asarray(accum), jnp.asarray(count), jax.random.PRNGKey(0),
         max_new=16, cfg=cfg)
     alive2 = np.asarray(g2.alive)
-    assert alive2[alive_idx[: n // 2]].all()          # observed survive
-    assert not alive2[alive_idx[n // 2:]].any()       # unobserved pruned
+    assert alive2[alive_idx].all()                    # one window: all survive
+    count2 = np.asarray(count2)
+    assert (count2[alive_idx[: n // 2]] == 0).all()   # observed: clean
+    assert (count2[alive_idx[n // 2:]] == np.float32(UNSEEN_MARK)).all()
 
-    # vacuous window: zero counts everywhere -> nothing pruned
-    g3, _, _ = densify_prune_arrays(
-        g, jnp.zeros(512), jnp.zeros(512), jax.random.PRNGKey(0),
+    # vacuous window in between: marks persist, nothing pruned
+    g2v, _, _, count2v = densify_prune_arrays(
+        g2, jnp.zeros(512), jnp.asarray(count2), jax.random.PRNGKey(1),
         max_new=16, cfg=cfg)
-    assert int(np.asarray(g3.alive).sum()) == n
+    assert int(np.asarray(g2v.alive).sum()) == n
+    assert (np.asarray(count2v)[alive_idx[n // 2:]]
+            == np.float32(UNSEEN_MARK)).all()
+
+    # window 2 (observed): the marked half is still unseen -> pruned;
+    # the observed half survives
+    count3 = np.array(count2v)
+    count3[alive_idx[: n // 2]] += 3.0
+    g3, _, _, _ = densify_prune_arrays(
+        g2v, jnp.asarray(np.maximum(count3, 0) * 1e-9), jnp.asarray(count3),
+        jax.random.PRNGKey(2), max_new=16, cfg=cfg)
+    alive3 = np.asarray(g3.alive)
+    assert alive3[alive_idx[: n // 2]].all()          # observed survive
+    assert not alive3[alive_idx[n // 2:]].any()       # unseen 2 windows: pruned
+
+    # a marked row that gets observed is rehabilitated (mark cleared)
+    count4 = np.zeros(512, np.float32)
+    count4[alive_idx[n // 2:]] = np.float32(UNSEEN_MARK) + 1.0  # one obs
+    count4[alive_idx[: n // 2]] = 1.0
+    g4, _, _, count5 = densify_prune_arrays(
+        g2, jnp.asarray(count4 * 1e-9), jnp.asarray(count4),
+        jax.random.PRNGKey(3), max_new=16, cfg=cfg)
+    assert int(np.asarray(g4.alive).sum()) == n
+    assert (np.asarray(count5)[alive_idx] == 0).all()
 
 
 def test_compact_state_is_exact_permutation(scene):
@@ -480,6 +510,7 @@ def test_compact_state_is_exact_permutation(scene):
         np.testing.assert_array_equal(np.asarray(c)[:n], np.asarray(o)[keep])
 
 
+@pytest.mark.slow
 def test_compact_at_refit_drops_dead_padding(scene):
     """Once densification ends, the trainer compacts capacity down to
     ~compact_slack x alive (the dead padding taxes every per-gaussian op
@@ -509,6 +540,7 @@ def test_compact_at_refit_drops_dead_padding(scene):
         assert np.isfinite(np.asarray(getattr(g, f))).all(), f
 
 
+@pytest.mark.slow
 def test_capacity_growth_with_co_opt_stays_finite(scene):
     """Regression (round 4, found by the 30k 512^2 run): capacity growth
     padded new dead slots with ZERO quaternions, whose normalization has a
@@ -541,6 +573,7 @@ def test_capacity_growth_with_co_opt_stays_finite(scene):
                for v in state.flame_params.values())
 
 
+@pytest.mark.slow
 def test_train_resume_matches_uninterrupted(scene, tmp_path):
     """A killed run resumed from its newest checkpoint must reach the SAME
     final state as an uninterrupted run: full optimizer + RNG-stream replay
@@ -679,6 +712,7 @@ def test_knn_init_scales_bound_footprints(scene):
     assert world1.std() / world1.mean() < np.std(s) / np.mean(s)
 
 
+@pytest.mark.slow
 def test_multiframe_training_converges(scene):
     """Multi-view training improves reconstruction on ALL frames (this was
     the gap that let the 256^2 e2e divergence ship: every training test was
@@ -720,6 +754,7 @@ def test_multiframe_training_converges(scene):
     assert int(np.asarray(state.gaussians.alive).sum()) > n0
 
 
+@pytest.mark.slow
 def test_chunked_loop_matches_per_step(scene):
     """train() advances in lax.scan chunks between host-action boundaries;
     the result must match per-step _step_fn dispatch on the same RNG
