@@ -114,6 +114,13 @@ class Pipeline:
                     lmk, valid = detect_landmarks(
                         images_dir, method=landmark_method, **lmk_kw,
                     )
+                # runtime preflight: score the first-party detector on the
+                # ACTUAL capture and fall back along
+                # neural -> adapters -> landmarks file before the tracker
+                # sees a silently-bad landmark set
+                if landmark_method in ("neural", "auto"):
+                    lmk, valid = self._landmarks_with_fallback(
+                        lmk, valid, images_dir, W, H)
 
                 masks = None
                 if cfg.pipeline.matting != "none":
@@ -127,6 +134,7 @@ class Pipeline:
                         masks = compute_masks(frames,
                                               method=cfg.pipeline.matting,
                                               **mat_kw)
+                    masks = self._masks_with_fallback(masks, frames)
                 track_cfg = cfg.track
                 if track_cfg.rgb_downsample == 1 and max(W, H) >= 384:
                     # the reference's standard tuning for hi-res captures
@@ -188,6 +196,78 @@ class Pipeline:
              "matting": self.cfg.pipeline.matting},
             run, force=force,
         )
+
+    # ── runtime preflight fallbacks (see track/preflight.py) ─
+    def _landmarks_with_fallback(self, lmk, valid, images_dir, W, H):
+        """Gate the first-party detector's output on the actual capture.
+
+        Fallback chain on failure: pretrained adapters (face_alignment,
+        mediapipe — the reference's own detectors, when importable) ->
+        a landmarks.npz next to the frames -> keep the flagged landmarks
+        with a loud events.jsonl warning (never silently)."""
+        from omfs4d.track.preflight import landmark_preflight
+
+        report = landmark_preflight(lmk, valid, W, H)
+        if report.ok:
+            return lmk, valid
+        log.warning("landmark preflight FAILED: %s", "; ".join(report.reasons))
+        self.events.emit("preflight_warning", stage="track.landmarks",
+                         **report.asdict())
+        for method in ("face_alignment", "mediapipe"):
+            try:
+                cand, cvalid = detect_landmarks(images_dir, method=method)
+            except Exception as e:  # noqa: BLE001 — adapter likely absent
+                self.events.emit("preflight_fallback_unavailable",
+                                 stage="track.landmarks", method=method,
+                                 error=str(e)[:200])
+                continue
+            crep = landmark_preflight(cand, cvalid, W, H)
+            if crep.ok:
+                log.warning("landmark preflight: falling back to %s", method)
+                self.events.emit("preflight_fallback",
+                                 stage="track.landmarks", method=method,
+                                 **crep.asdict())
+                return cand, cvalid
+        p = Path(images_dir)
+        for cand_file in (p / "landmarks.npz", p.parent / "landmarks.npz"):
+            if cand_file.exists():
+                log.warning("landmark preflight: falling back to %s",
+                            cand_file)
+                self.events.emit("preflight_fallback",
+                                 stage="track.landmarks", method="file",
+                                 path=str(cand_file))
+                return detect_landmarks(cand_file, method="file")
+        log.warning("landmark preflight failed and NO fallback is available;"
+                    " proceeding with the flagged landmarks")
+        self.events.emit("preflight_no_fallback", stage="track.landmarks")
+        return lmk, valid
+
+    def _masks_with_fallback(self, masks, frames):
+        """Gate the matting output; fall back to median_background (the
+        static-camera baseline) when the configured method produces
+        implausible masks on this capture."""
+        from omfs4d.track.matting import compute_masks
+        from omfs4d.track.preflight import mask_preflight
+
+        report = mask_preflight(masks)
+        if report.ok:
+            return masks
+        log.warning("matting preflight FAILED: %s", "; ".join(report.reasons))
+        self.events.emit("preflight_warning", stage="track.matting",
+                         **report.asdict())
+        if self.cfg.pipeline.matting != "median_background":
+            cand = compute_masks(frames, method="median_background")
+            crep = mask_preflight(cand)
+            if crep.ok:
+                log.warning("matting preflight: falling back to "
+                            "median_background")
+                self.events.emit("preflight_fallback", stage="track.matting",
+                                 method="median_background", **crep.asdict())
+                return cand
+        log.warning("matting preflight failed and the median fallback did "
+                    "not pass either; writing the dataset WITHOUT fg masks")
+        self.events.emit("preflight_no_fallback", stage="track.matting")
+        return None
 
     # ── stage 4: avatar training ─────────────────────────────
     def train(self, data_dir: Path, output_dir: Path | None = None,
