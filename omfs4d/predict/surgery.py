@@ -32,26 +32,35 @@ def compute_offset(input_mm: float, sensitivity: float) -> float:
 
 
 def load_deformation_map(path: str | None) -> dict[str, Any]:
-    """Optional region-aware deformation controls from JSON."""
+    """Optional region-aware deformation controls from a JSON file.
+
+    Returns {} when no path is given (behavioral contract with the
+    reference's deformation-map flag, render_surgery.py:60-71)."""
     if not path:
         return {}
-    map_path = Path(path)
-    if not map_path.exists():
-        raise FileNotFoundError(f"Deformation map not found: {map_path}")
-    with open(map_path, "r", encoding="utf-8") as f:
-        payload = json.load(f)
+    payload = json.loads(Path(path).read_text(encoding="utf-8"))
     if not isinstance(payload, dict):
-        raise ValueError("Deformation map JSON must contain an object at the top level.")
+        raise ValueError(
+            f"deformation map {path!r}: expected a top-level JSON object, "
+            f"got {type(payload).__name__}")
     return payload
 
 
-def choose_rig_mode(requested_mode: str, canonical_head_asset: str | None) -> tuple[str, str]:
-    """Effective rig mode + human-readable reason (graceful fallback)."""
+def choose_rig_mode(requested_mode: str,
+                    canonical_head_asset: str | None) -> tuple[str, str]:
+    """Resolve the effective rig mode, falling back gracefully.
+
+    hybrid_full_head needs the canonical head asset on disk; without it the
+    prediction still renders in flame_only mode (contract:
+    render_surgery.py:74-85).  Returns (mode, reason)."""
+    have_asset = bool(canonical_head_asset
+                      and Path(canonical_head_asset).exists())
     if requested_mode == "flame_only":
-        return "flame_only", "explicitly requested"
-    if canonical_head_asset and Path(canonical_head_asset).exists():
-        return "hybrid_full_head", "canonical head asset found"
-    return "flame_only", "hybrid requested but canonical head asset missing"
+        return "flame_only", "flame_only explicitly requested"
+    if not have_asset:
+        return "flame_only", ("falling back: hybrid_full_head needs a "
+                              "canonical head asset, but it is missing")
+    return "hybrid_full_head", "canonical head asset present"
 
 
 def apply_surgical_offsets(

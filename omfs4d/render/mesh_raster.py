@@ -13,9 +13,10 @@ gaussian falloff replaced by a soft triangle-coverage term:
 σ→0 approaches hard rasterization; σ of ~1 pixel gives usable silhouette
 gradients (SoftRas-style).  Faces are depth-sorted by centroid and
 composited with the same transmittance cumprod as gaussians, so occlusion
-is respected.  Colors are flat per-face (the photometric texture the
-tracker optimizes); barycentric vertex-color interpolation is a planned
-extension.
+is respected.  Colors are either flat per-face (the photometric texture the
+tracker's early stages optimize) or barycentrically interpolated per-vertex
+attributes via ``vertex_interp`` (used by render/texture.py for deferred
+UV texturing).
 
 Two aggregation modes:
   * ``over``    — front-to-back transmittance compositing (matches the

@@ -18,8 +18,9 @@ suffix sum that the CUDA kernel accumulates back-to-front is one matmul
 against the strict *lower* triangle.
 
 Layouts are chosen for the (sublane, lane) = (8, 128) tiling:
-  * per-tile gaussian parameters are packed as (16, K): 16 param rows
-    (ux, uy, conic a/b/c, rgb, opacity, 7 pad) x K lanes;
+  * per-tile gaussian parameters are packed as (9, K) = N_ROWS param rows
+    (ux, uy, conic a/b/c, rgb, opacity) x K lanes — Mosaic pads the sublane
+    dim internally, so padding to 16 ourselves would only add HBM traffic;
   * the alpha matrix lives as (P, K): P = tile^2 pixel sublanes, K lanes.
 
 Per-tile VMEM at K=512, tile=16 (P=256): ~2.5 MB forward, ~4 MB backward —
@@ -199,7 +200,7 @@ def _fwd_body(packed, color_out_ref, alpha_out_ref, tile, grid_w, k, tid):
 
 def _fwd_kernel(base_ref, packed_ref, color_out_ref, alpha_out_ref,
                 *, tile: int, grid_w: int, K: int):
-    packed = packed_ref[0]                            # (16, K)
+    packed = packed_ref[0]                            # (N_ROWS, K)
     P = tile * tile
     # `base` offsets the global tile id: sharded callers composite a
     # contiguous slab of tiles starting at axis_index * local_T
@@ -236,66 +237,65 @@ def _bwd_body(packed, dcol_ref, dalpha_ref, dpacked_ref,
               tile, grid_w, k, K, tid):
     """Backward composite over the first `k` list entries; columns beyond
     k receive zero cotangents."""
-    if True:
-        P = tile * tile
-        a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, k, tid)
-        one_minus = jnp.maximum(1.0 - a, 1e-6)
-        lg = jnp.log(one_minus)
+    P = tile * tile
+    a, a_full, grad_ok, dx, dy = _alpha_matrix(packed, tile, grid_w, k, tid)
+    one_minus = jnp.maximum(1.0 - a, 1e-6)
+    lg = jnp.log(one_minus)
 
-        s_excl = _excl_prefix(lg, k)
-        t_excl = jnp.exp(s_excl)
-        w = a * t_excl                                    # (P, K)
+    s_excl = _excl_prefix(lg, k)
+    t_excl = jnp.exp(s_excl)
+    w = a * t_excl                                    # (P, K)
 
-        dcol = dcol_ref[0]                                # (3, P)
-        dalpha = dalpha_ref[0]                            # (1, P)
-        colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
+    dcol = dcol_ref[0]                                # (3, P)
+    dalpha = dalpha_ref[0]                            # (1, P)
+    colors = packed[ROW_R : ROW_B + 1, :]             # (3, K)
 
-        # dcolor[c, k] = sum_p dcol[c, p] w[p, k]
-        dcolors = jnp.dot(dcol, w, preferred_element_type=jnp.float32)  # (3, K)
+    # dcolor[c, k] = sum_p dcol[c, p] w[p, k]
+    dcolors = jnp.dot(dcol, w, preferred_element_type=jnp.float32)  # (3, K)
 
-        # dw[p, k] = sum_c dcol[c, p] colors[c, k]
-        dw = jax.lax.dot_general(
-            dcol, colors,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (P, K)
+    # dw[p, k] = sum_c dcol[c, p] colors[c, k]
+    dw = jax.lax.dot_general(
+        dcol, colors,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (P, K)
 
-        # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]
-        suffix = _suffix_sum(dw * w, k)
+    # suffix[p, k] = sum_{j > k} dw[p, j] w[p, j]
+    suffix = _suffix_sum(dw * w, k)
 
-        s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
-        t_total = jnp.exp(s_total)
-        dA = dalpha.reshape(P, 1)                          # (P, 1)
+    s_total = jnp.sum(lg, axis=1, keepdims=True)      # (P, 1)
+    t_total = jnp.exp(s_total)
+    dA = dalpha.reshape(P, 1)                          # (P, 1)
 
-        da = dw * t_excl - suffix / one_minus + dA * t_total / one_minus
-        da = jnp.where(grad_ok, da, 0.0)
+    da = dw * t_excl - suffix / one_minus + dA * t_total / one_minus
+    da = jnp.where(grad_ok, da, 0.0)
 
-        o = packed[ROW_OPAC : ROW_OPAC + 1, :]            # (1, K)
-        e = a_full / jnp.maximum(o, 1e-12)                # exp(power)
-        do = jnp.sum(da * e, axis=0, keepdims=True)       # (1, K)
-        dq = da * a_full                                   # (P, K)
+    o = packed[ROW_OPAC : ROW_OPAC + 1, :]            # (1, K)
+    e = a_full / jnp.maximum(o, 1e-12)                # exp(power)
+    do = jnp.sum(da * e, axis=0, keepdims=True)       # (1, K)
+    dq = da * a_full                                   # (P, K)
 
-        ca = packed[ROW_CA : ROW_CA + 1, :]
-        cb = packed[ROW_CB : ROW_CB + 1, :]
-        cc = packed[ROW_CC : ROW_CC + 1, :]
-        dux = jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
-        duy = jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
-        dca = jnp.sum(dq * (-0.5 * dx * dx), axis=0, keepdims=True)
-        dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
-        dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
+    ca = packed[ROW_CA : ROW_CA + 1, :]
+    cb = packed[ROW_CB : ROW_CB + 1, :]
+    cc = packed[ROW_CC : ROW_CC + 1, :]
+    dux = jnp.sum(dq * (ca * dx + cb * dy), axis=0, keepdims=True)
+    duy = jnp.sum(dq * (cc * dy + cb * dx), axis=0, keepdims=True)
+    dca = jnp.sum(dq * (-0.5 * dx * dx), axis=0, keepdims=True)
+    dcb = jnp.sum(dq * (-dx * dy), axis=0, keepdims=True)
+    dcc = jnp.sum(dq * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        dp = jnp.concatenate(
-            [dux, duy, dca, dcb, dcc, dcolors, do], axis=0)
-        if k == K:
-            dpacked_ref[0] = dp
-        else:
-            dpacked_ref[0] = jnp.concatenate(
-                [dp, jnp.zeros((N_ROWS, K - k), jnp.float32)], axis=1)
+    dp = jnp.concatenate(
+        [dux, duy, dca, dcb, dcc, dcolors, do], axis=0)
+    if k == K:
+        dpacked_ref[0] = dp
+    else:
+        dpacked_ref[0] = jnp.concatenate(
+            [dp, jnp.zeros((N_ROWS, K - k), jnp.float32)], axis=1)
 
 
 def _bwd_kernel(base_ref, packed_ref, dcol_ref, dalpha_ref, dpacked_ref,
                 *, tile: int, grid_w: int, K: int):
-    packed = packed_ref[0]                            # (16, K)
+    packed = packed_ref[0]                            # (N_ROWS, K)
     tid = pl.program_id(0) + base_ref[0]
 
     opac_row = packed[ROW_OPAC : ROW_OPAC + 1, :]
