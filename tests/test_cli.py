@@ -63,6 +63,7 @@ def test_cli_synthetic_data(tmp_path):
     assert (out / "transforms_train.json").exists()
 
 
+@pytest.mark.slow
 def test_cli_prepare_models(tmp_path, monkeypatch):
     """`cli prepare-models` trains + caches the neural detector and the
     matting net (the framework's analogue of the reference's external

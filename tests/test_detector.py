@@ -55,6 +55,7 @@ class TestSampler:
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_training_beats_untrained(self, model, trained):
         p0 = det.init_net(jax.random.PRNGKey(0),
@@ -206,6 +207,7 @@ class TestRegistry:
         np.testing.assert_allclose(lmk[1], pts, rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestRobustness:
     """Cross-distribution gates (VERDICT r2 weak #3): the detector must not
     merely memorize its synthetic training distribution.
@@ -251,6 +253,7 @@ class TestRobustness:
         assert 0.0 <= float(ims.min()) and float(ims.max()) <= 1.0
 
 
+@pytest.mark.slow
 class TestDetectorToTracker:
     def test_detected_landmarks_drive_tracking(self, model, trained):
         """End-to-end: synthetic capture -> neural detection -> FLAME fit."""

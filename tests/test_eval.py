@@ -185,6 +185,7 @@ class TestHeadRecon:
             p_mapped = T_rel[:3, :3] @ p_b + T_rel[:3, 3]
             np.testing.assert_allclose(p_mapped, p_a, atol=1e-6)
 
+    @pytest.mark.slow
     def test_fit_shared_shape_two_sequences(self):
         """Joint identity fit across two sequences: one shape vector,
         per-sequence frame params split back to the right lengths."""

@@ -65,6 +65,7 @@ def test_unknown_method_raises():
         compute_masks(np.zeros((1, 4, 4, 3), np.uint8), method="nope")
 
 
+@pytest.mark.slow
 def test_neural_matting_learns_alpha(tmp_path):
     """The self-trained matting net (track/segnet.py — the NN analogue of
     robust_video_matting, ref preprocess_video.py:132) learns foreground
@@ -106,6 +107,7 @@ def test_neural_matting_learns_alpha(tmp_path):
     np.testing.assert_array_equal(m2, masks)
 
 
+@pytest.mark.slow
 def test_neural_matting_distribution_shift():
     """Cross-distribution gate (VERDICT r2 weak #3): the matting net must
     segment figure/ground on inputs from a DIFFERENT image formation

@@ -107,6 +107,7 @@ class TestMeshRaster:
         assert win[..., 0].max() > 0.95
 
 
+@pytest.mark.slow
 def test_tracker_mesh_photometric_backend(cam):
     """The mesh backend plugs into the tracker's photometric loss with
     finite gradients to pose and texture."""

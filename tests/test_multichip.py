@@ -9,6 +9,7 @@ N_DEV = len(jax.devices())
 
 
 @pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
@@ -24,6 +25,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_multiprocess_spmd_train(tmp_path):
     """Multi-HOST readiness (SURVEY §2.3 DCN plan): two OS processes with
     gloo CPU collectives form one 8-device mesh; each process loads only
@@ -173,6 +175,7 @@ def test_gaussian_sharded_gradients_flow():
 
 
 @pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+@pytest.mark.slow
 def test_gaussian_sharded_training_matches_unsharded():
     """Model-parallel avatar training: loss AND per-gaussian gradients over
     a 4-way sharded cloud equal the single-device values."""
@@ -230,6 +233,7 @@ def test_gaussian_sharded_training_matches_unsharded():
                                    err_msg=f"grad mismatch: {k}")
 
 
+@pytest.mark.slow
 def test_sharded_trainer_matches_replicated_curve():
     """Fully sharded training state (P('gauss') gaussians + Adam moments):
     N steps of ShardedAvatarTrainer track AvatarTrainer's replicated loss
@@ -386,6 +390,7 @@ def test_sharded_compaction_is_exact_and_shrinks():
 
 
 @pytest.mark.skipif(N_DEV < 2, reason="needs multiple (virtual) devices")
+@pytest.mark.slow
 def test_frame_dp_mesh_trainer_matches_unsharded():
     """AvatarTrainer(mesh=...) — the pipeline's parallel.n_data path — must
     produce the same loss curve as the unsharded trainer on the same frame
@@ -433,6 +438,7 @@ def test_frame_dp_mesh_trainer_matches_unsharded():
 
 
 @pytest.mark.skipif(N_DEV < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_2d_data_gauss_sharded_trainer():
     """The (data x gauss) 2D mesh: each data row fits its own frame against
     the gaussian shards; the step's loss equals the replicated trainer's
@@ -627,6 +633,7 @@ def _tiny_scene(S=32, T=1):
 
 
 @pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+@pytest.mark.slow
 def test_sharded_trainer_densify_reset_resume_cycle(tmp_path):
     """VERDICT r3 item 2: the sharded trainer must survive a full
     densify + opacity-reset + checkpoint + kill-and-resume cycle, with the
@@ -701,6 +708,7 @@ def test_sharded_trainer_densify_reset_resume_cycle(tmp_path):
 
 
 @pytest.mark.skipif(N_DEV < 4, reason="needs 4+ virtual devices")
+@pytest.mark.slow
 def test_sharded_opacity_reset_tracks_replicated():
     """VERDICT r3 done-criterion: sharded vs replicated loss curves match
     through iterations beyond 2x opacity_reset_interval (the reset is
@@ -742,6 +750,7 @@ def test_sharded_opacity_reset_tracks_replicated():
     np.testing.assert_allclose(sh_losses, rep_losses, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_trainer_chunked_loop_matches_per_step():
     """ShardedAvatarTrainer.train advances in lax.scan chunks; the result
     must match per-step dispatch on the same host RNG stream."""

@@ -76,6 +76,7 @@ def test_gradcheck_finite_difference(scene):
         assert abs(fd - g[i]) < 2e-2 * max(abs(fd), 1.0), (i, fd, g[i])
 
 
+@pytest.mark.slow
 def test_two_level_k_paths_match_reference():
     """Mixed occupancy: dense tile (>128 entries, big-K path) + sparse tiles
     (small-K fast path) must both match the reference exactly."""

@@ -23,6 +23,7 @@ def synth(tmp_path_factory):
     return root, out
 
 
+@pytest.mark.slow
 def test_full_pipeline_e2e(synth):
     root, synth_out = synth
     data_dir = synth_out["path"]
@@ -65,6 +66,7 @@ def test_full_pipeline_e2e(synth):
     assert scores.exists()
 
 
+@pytest.mark.slow
 def test_surgery_actually_changes_pixels(synth):
     """A nonzero jaw advancement must change the rendered prediction."""
     root, synth_out = synth
@@ -92,6 +94,7 @@ def test_surgery_actually_changes_pixels(synth):
     assert diff > 0.05, diff
 
 
+@pytest.mark.slow
 def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
     """frames dir -> landmarks -> staged tracking -> contract dataset."""
     import shutil
@@ -148,6 +151,7 @@ def test_pipeline_track_produces_contract_dataset(synth, tmp_path):
     assert (out / "points3d.ply").exists()
 
 
+@pytest.mark.slow
 def test_reference_layout_dataset_trains_and_predicts(tmp_path):
     """A dataset in the reference converter's exact layout (VHAP-style
     images/00000_00.png camera-suffixed names, per-frame npz, batched npz,
@@ -211,6 +215,7 @@ def test_reference_layout_dataset_trains_and_predicts(tmp_path):
     assert float(np.mean(vals)) > 13.0, vals
 
 
+@pytest.mark.slow
 def test_pipeline_gaussian_sharded_training(tmp_path):
     """parallel.n_gauss > 1 routes the train stage through the
     model-parallel ShardedAvatarTrainer (gaussians + Adam moments behind

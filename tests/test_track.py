@@ -120,6 +120,7 @@ def test_unknown_detector_raises():
         detect_landmarks(".", method="nope")
 
 
+@pytest.mark.slow
 def test_photometric_stage_improves_fit(tmp_path):
     """rgb stages must reduce photometric error and refine a perturbed pose
     (the VHAP-replacement claim, SURVEY.md §2.2 'VHAP tracker')."""
@@ -211,6 +212,7 @@ def test_bilinear_sample_exact_and_differentiable():
     assert float(jnp.abs(g_uv).max()) > 0
 
 
+@pytest.mark.slow
 def test_uv_texture_beats_flat_on_detail(tmp_path):
     """VERDICT r4 item 5 done-criterion: with appearance detail FINER than
     the mesh (a high-frequency UV texture on the GT), the UV-atlas
@@ -267,6 +269,7 @@ def test_uv_texture_beats_flat_on_detail(tmp_path):
     assert losses["uv"] < losses["flat"], losses
 
 
+@pytest.mark.slow
 def test_dynamic_offset_stage_improves_fit():
     """VERDICT r4 item 7: the optional late rgb_dynamic_offset stage must
     reduce photometric error on per-frame geometry that pose/expression
@@ -338,6 +341,7 @@ def test_dynamic_offset_stage_improves_fit():
                   - out["dynamic_offset"][0]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_sequential_tracking_long_motion():
     """The per-frame warm-start sweep (VHAP's rgb_sequential_tracking,
     ref app.py:1283-1292) on a large-motion sequence: photometric-only
@@ -399,6 +403,7 @@ def test_sequential_tracking_long_motion():
     assert err_seq <= err_batched + 0.02, (err_seq, err_batched)
 
 
+@pytest.mark.slow
 def test_rgb_downsample_photometric(tmp_path):
     """rgb_downsample=2 (the reference's --data.n-downsample-rgb surface)
     runs the photometric stages at half resolution and still reduces
