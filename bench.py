@@ -269,6 +269,33 @@ def main():
         train_ips = float("nan")
     _mark(f"train_ips={train_ips:.2f}")
 
+    # ── chunked training throughput (the trainer's PRODUCTION loop) ──
+    # AvatarTrainer.train advances in 50-step lax.scan chunks between
+    # host-action boundaries (trainer.py:_train_chunk); the per-step loop
+    # above additionally pays tunnel round-trip dispatch that the pipeline
+    # never pays (~40% of step time at 512^2, BENCH_NOTES r3).  The chunked
+    # number is the headline; per-step stays in extra as the dispatch-bound
+    # lower bound.
+    train_ips_chunked = float("nan")
+    try:
+        if not _arm():
+            raise TimeoutError("bench budget exhausted before chunked phase")
+        C = 10 if quick else 50
+        idxs = jnp.asarray(rng.integers(0, T, size=(C, 1)), jnp.int32)
+        state, ms = trainer._chunk_fn(state, data, idxs)   # compile + warmup
+        jax.block_until_ready(ms["loss"])
+        reps_n = 1 if quick else max(n_timed // C, 4)
+        t0 = time.perf_counter()
+        for _ in range(reps_n):
+            state, ms = trainer._chunk_fn(state, data, idxs)
+        jax.block_until_ready(ms["loss"])
+        train_ips_chunked = reps_n * C / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        _mark(f"chunked train bench failed: {e}")
+    _mark(f"train_ips_chunked={train_ips_chunked:.2f}")
+    headline_ips = (train_ips_chunked if np.isfinite(train_ips_chunked)
+                    else train_ips)
+
     # ── render-only fps ──────────────────────────────────────
     _mark("compiling render")
     try:

@@ -100,17 +100,26 @@ K_SMALL = 128   # smallest occupancy level: K^2 matmul work drops 16x
 
 _BLOCK = 128    # prefix/suffix matmul block (one lane tile)
 
-# Opt-in: run the triangular prefix/suffix matmuls with bf16 operands
-# (f32 accumulation).  MXU bf16 rate is 4x f32 on v5e, but the matmuls are
-# a minority of kernel time (VPU alpha/exp dominates) and bf16 lg loses
-# ~0.4% relative per term — measured perf + e2e dB before any default flip.
+# Triangular prefix/suffix matmuls with bf16 operands (f32 accumulation).
+# MXU bf16 rate is 4x f32 on v5e; bf16 lg loses ~0.4% relative per term.
+# Default: ON for the TPU backend — measured before the flip (round 5):
+# full-size bench 75.0 it/s @512^2 with floors green, e2e selfrecon
+# 33.53 dB vs 33.4 dB f32 (E2E_BF16_512 vs E2E_TIMING_512).  OFF elsewhere
+# so the CPU interpret-mode tests compare f32 math exactly.
+# OMFS4D_COMPOSITE_BF16=0/1 forces either way.
 import os
 
-BF16_MATMUL = os.environ.get("OMFS4D_COMPOSITE_BF16", "0") == "1"
+_BF16_ENV = os.environ.get("OMFS4D_COMPOSITE_BF16", "")
+
+
+def _bf16_matmul() -> bool:
+    if _BF16_ENV in ("0", "1"):
+        return _BF16_ENV == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _mm(x):
-    return x.astype(jnp.bfloat16) if BF16_MATMUL else x
+    return x.astype(jnp.bfloat16) if _bf16_matmul() else x
 
 
 def _strict_upper(b: int) -> jnp.ndarray:

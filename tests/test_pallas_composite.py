@@ -76,6 +76,38 @@ def test_gradcheck_finite_difference(scene):
         assert abs(fd - g[i]) < 2e-2 * max(abs(fd), 1.0), (i, fd, g[i])
 
 
+def test_bf16_matmul_path_close_to_f32(scene, monkeypatch):
+    """The TPU default runs the triangular matmuls with bf16 operands
+    (f32 accumulation); forced on under interpret mode it must stay within
+    bf16 tolerance of the f32 reference (fwd + grads).  Guards the default
+    flip (pallas_kernels._bf16_matmul)."""
+    from omfs4d.render import pallas_kernels as pk
+
+    proj, binning, opacity, colors = scene
+    img_f, alpha_f = composite_pallas(proj["uv"], proj["conic"], colors,
+                                      opacity, binning, 48, 32, tile=16)
+    monkeypatch.setattr(pk, "_BF16_ENV", "1")
+    assert pk._bf16_matmul()
+    img_b, alpha_b = composite_pallas(proj["uv"], proj["conic"], colors,
+                                      opacity, binning, 48, 32, tile=16)
+    # bf16 has ~8 mantissa bits: per-term relative error ~4e-3
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_f),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(alpha_b), np.asarray(alpha_f),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(opac):
+        img, _ = composite_pallas(proj["uv"], proj["conic"], colors, opac,
+                                  binning, 48, 32, tile=16)
+        return jnp.sum(img ** 2)
+
+    g_b = np.asarray(jax.grad(loss)(opacity))
+    monkeypatch.setattr(pk, "_BF16_ENV", "0")
+    g_f = np.asarray(jax.grad(loss)(opacity))
+    scale = max(np.abs(g_f).max(), 1e-6)
+    np.testing.assert_allclose(g_b, g_f, atol=3e-2 * scale, rtol=3e-2)
+
+
 @pytest.mark.slow
 def test_two_level_k_paths_match_reference():
     """Mixed occupancy: dense tile (>128 entries, big-K path) + sparse tiles
