@@ -422,7 +422,7 @@ def main():
             "train_ips": 50.0, "render_fps": 80.0, "flame_fit": 700.0,
         }
         checks = {
-            "train_ips_ok": bool(np.isfinite(train_ips) and train_ips >= floors["train_ips"]),
+            "train_ips_ok": bool(np.isfinite(headline_ips) and headline_ips >= floors["train_ips"]),
             "render_fps_ok": bool(np.isfinite(render_fps) and render_fps >= floors["render_fps"]),
             "flame_fit_ok": bool(np.isfinite(flame_ips) and flame_ips >= floors["flame_fit"]),
         }
@@ -437,10 +437,11 @@ def main():
 
     result = {
         "metric": f"3dgs_train_iters_per_sec@{size}",
-        "value": _num(train_ips),
+        "value": _num(headline_ips),
         "unit": "iter/s",
-        "vs_baseline": _num(train_ips / BASELINE_TRAIN_ITERS_PER_SEC),
+        "vs_baseline": _num(headline_ips / BASELINE_TRAIN_ITERS_PER_SEC),
         "extra": {
+            "train_ips_per_step_dispatch": _num(train_ips),
             "render_fps": _num(render_fps, 2),
             "flame_fit_iters_per_sec": _num(flame_ips, 2),
             "n_gaussians": target_alive,
