@@ -36,6 +36,9 @@ def main():
                     help="bypass the tracker and train directly on the GT "
                          "synthetic FLAME params — isolates trainer fidelity "
                          "from tracker quality (dB attribution)")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="dotted config override, e.g. "
+                         "train.opacity_reset_interval=0 (repeatable)")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,10 @@ def main():
     if args.max_per_tile:
         cfg.render.max_per_tile = args.max_per_tile
     cfg.train.iterations = args.iters
+    from omfs4d.core.config import apply_override
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        apply_override(cfg, k, v)
     if args.frames < 20:     # smoke-scale tracking budget
         for k, v in dict(steps_lmk_init_rigid=20, steps_lmk_init_all=15,
                          steps_rgb_init_texture=5, steps_rgb_init_all=5,
@@ -169,7 +176,9 @@ def main():
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if r.get("event") == "train_step":
+            # a reused workdir's events.jsonl still holds past runs' steps;
+            # only THIS run's events (t >= pipeline start) enter the curve
+            if r.get("event") == "train_step" and r.get("t", 0) >= t_all:
                 rows.append((r["iter"], r["t"], r.get("n_alive")))
         rows.sort()
         if len(rows) >= 3:
