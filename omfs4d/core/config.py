@@ -148,6 +148,18 @@ class TrainConfig:
     # were fit against).  warmup=0 disables the schedule (constant LR).
     lr_flame_warmup: int = 300
     lr_flame_final_scale: float = 0.03
+    # ABSOLUTE horizon (in iterations) over which the position exponential
+    # decay and the FLAME cosine decay run; past it both hold their floor.
+    # Without this, the schedules stretched with `iterations`, so a 30k run
+    # held position/FLAME LRs near peak ~6x longer than the 5k runs the
+    # peaks were swept on — measured on the first 30k 512^2 e2e: per-step
+    # PSNR degraded monotonically while the schedules were hot (28 -> 18 dB
+    # median by iter 14k) and a 20k-iteration 256^2 run diverged outright in
+    # its first 800 iterations (loss 0.07 -> 0.14, then the scale prune
+    # collapsed the cloud to 0 alive).  5000 = the validated operating
+    # point (33.5 dB selfrecon, E2E_BF16_512.json); 0 = legacy
+    # stretch-with-iterations behavior.
+    lr_decay_horizon: int = 5000
     seed: int = 0
     sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
     # once densification ends the alive count is frozen, but capacity is

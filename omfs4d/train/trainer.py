@@ -86,23 +86,39 @@ def _flame_lr(cfg: TrainConfig, peak: float):
     warmup = int(getattr(cfg, "lr_flame_warmup", 0))
     if warmup <= 0:
         return peak
+    horizon = _decay_horizon(cfg)
     return optax.warmup_cosine_decay_schedule(
         init_value=peak * 0.1, peak_value=peak,
-        warmup_steps=min(warmup, max(cfg.iterations // 10, 1)),
-        decay_steps=max(cfg.iterations, warmup + 1),
+        warmup_steps=min(warmup, max(horizon // 10, 1)),
+        decay_steps=max(horizon, warmup + 1),
         end_value=peak * float(getattr(cfg, "lr_flame_final_scale", 1.0)),
     )
 
 
+def _decay_horizon(cfg: TrainConfig) -> int:
+    """Steps over which the decaying schedules run (then hold their floor).
+
+    cfg.lr_decay_horizon caps the decay span at the horizon the LR peaks
+    were actually swept on (5k e2e) — without the cap the schedules
+    stretched with `iterations` and long runs held near-peak LRs for
+    thousands of extra steps (the 30k-run quality collapse; see the
+    config field's comment)."""
+    horizon = int(getattr(cfg, "lr_decay_horizon", 0))
+    if horizon <= 0:
+        return max(cfg.iterations, 1)
+    return max(min(horizon, cfg.iterations), 1)
+
+
 def _position_lr(cfg: TrainConfig):
     """CUDA 3DGS decays position_lr exponentially (1.6e-4 -> 1.6e-6 over
-    30k); lr_position_final_scale=1.0 keeps the legacy constant LR."""
+    its FIXED 30k horizon); lr_position_final_scale=1.0 keeps the legacy
+    constant LR.  The optax end_value holds the floor past the horizon."""
     final = float(getattr(cfg, "lr_position_final_scale", 1.0))
     if final >= 1.0:
         return cfg.lr_position
     return optax.exponential_decay(
         init_value=cfg.lr_position,
-        transition_steps=max(cfg.iterations, 1),
+        transition_steps=_decay_horizon(cfg),
         decay_rate=final,
         end_value=cfg.lr_position * final,
     )

@@ -788,3 +788,29 @@ def test_chunked_loop_matches_per_step(scene):
     np.testing.assert_allclose(np.asarray(s_loop.gaussians.color),
                                np.asarray(s_ref.gaussians.color), atol=1e-5)
     assert int(s_loop.step) == int(s_ref.step) == 120
+
+
+def test_lr_schedules_cap_at_decay_horizon():
+    """Long runs must reuse the VALIDATED 5k decay then hold the floor —
+    without the horizon cap the schedules stretched with `iterations` and a
+    30k run held near-peak position/FLAME LRs for thousands of extra steps
+    (measured quality collapse; see TrainConfig.lr_decay_horizon)."""
+    from omfs4d.train.trainer import _flame_lr, _position_lr
+
+    long_cfg = TrainConfig(iterations=30_000)
+    short_cfg = TrainConfig(iterations=5_000)
+    pos_long, pos_short = _position_lr(long_cfg), _position_lr(short_cfg)
+    # identical decay while both are inside the horizon...
+    for step in (0, 1000, 2500, 4999):
+        np.testing.assert_allclose(float(pos_long(step)),
+                                   float(pos_short(step)), rtol=1e-6)
+    # ...and the floor holds afterwards instead of stretching
+    floor = long_cfg.lr_position * long_cfg.lr_position_final_scale
+    np.testing.assert_allclose(float(pos_long(20_000)), floor, rtol=1e-3)
+
+    fl = _flame_lr(long_cfg, long_cfg.lr_flame_expr)
+    f_floor = long_cfg.lr_flame_expr * long_cfg.lr_flame_final_scale
+    np.testing.assert_allclose(float(fl(20_000)), f_floor, rtol=1e-3)
+    # legacy stretch behavior stays reachable
+    legacy = TrainConfig(iterations=30_000, lr_decay_horizon=0)
+    assert float(_position_lr(legacy)(5_000)) > 10 * floor
