@@ -347,6 +347,16 @@ def rasterize(
     Gradients flow to means/rotations/scales/opacity/colors; the binning
     index computation is piecewise-constant and excluded via stop_gradient.
     """
+    if means.shape[0] == 0:
+        # empty cloud (e.g. rendering a checkpoint whose every gaussian was
+        # pruned): binning/gather paths assume N >= 1, so emit pure
+        # background instead of tracing zero-size gathers
+        if background is None:
+            background = jnp.ones((3,), jnp.float32)
+        zero = jnp.zeros((), jnp.int32)
+        return (jnp.broadcast_to(background, (height, width, 3)),
+                {"alpha": jnp.zeros((height, width), jnp.float32),
+                 "overflow": zero, "window_clipped": zero, "spilled": zero})
     proj = project_gaussians(camera, means, rotations, scales)
 
     binning = bin_gaussians(

@@ -262,3 +262,24 @@ class TestCompactCloudSpill:
 
         sig = inspect.signature(render_dataset_frames)
         assert sig.parameters["large_frac"].default == 1.0
+
+
+def test_rasterize_empty_cloud_returns_background():
+    """N == 0 (every gaussian pruned, then the checkpoint rendered) must
+    produce pure background, not a zero-size-gather crash
+    (rasterize's early-out; hit by a degenerate 20k-iteration run)."""
+    from omfs4d.ops.camera import look_at_camera
+    from omfs4d.render.rasterize import rasterize
+
+    cam = look_at_camera(eye=(0, 0, -2.0), target=(0, 0, 0), fx=60.0,
+                         width=32, height=24)
+    img, aux = rasterize(
+        jnp.zeros((0, 3)), jnp.zeros((0, 3, 3)), jnp.zeros((0, 3)),
+        jnp.zeros((0,)), jnp.zeros((0, 3)), cam, 32, 24,
+        background=jnp.asarray([0.2, 0.5, 0.9]),
+    )
+    assert img.shape == (24, 32, 3)
+    np.testing.assert_allclose(np.asarray(img),
+                               np.broadcast_to([0.2, 0.5, 0.9], (24, 32, 3)),
+                               atol=1e-6)
+    assert np.asarray(aux["alpha"]).max() == 0.0
