@@ -160,6 +160,18 @@ class TrainConfig:
     # point (33.5 dB selfrecon, E2E_BF16_512.json); 0 = legacy
     # stretch-with-iterations behavior.
     lr_decay_horizon: int = 5000
+    # Per-step pull of the co-optimized FLAME params toward their tracked
+    # initialization: p <- anchor + (1-beta)(p - anchor).  Near a perfect
+    # fit the data gradient is ~zero and Adam turns gradient NOISE into
+    # full-LR random-walk steps — a walk in global translation/rotation
+    # misaligns the whole head, every splat fades (opacity is the cheapest
+    # way to explain misaligned pixels), and the scene death-spirals
+    # (measured: GT-param 256^2 runs collapse to 0 alive within ~700 iters;
+    # position-LR-only ablation is healthy, FLAME-LR-only reproduces).
+    # The anchor bounds the walk at ~lr/sqrt(2*beta) while leaving
+    # equilibrium room ~lr/beta for CONSISTENT corrections (0.1 rad at
+    # the pose peak — 2x the tracker's residual-error scale).  0 disables.
+    flame_anchor_decay: float = 3e-3
     seed: int = 0
     sh_degree: int = 3              # SH rest degree (GA default 3, ref train_ghost.py:227-243)
     # once densification ends the alive count is frozen, but capacity is

@@ -160,6 +160,9 @@ class ShardedAvatarTrainer:
                 fos = jax.tree_util.tree_map(
                     lambda v: jax.device_put(v, rep),
                     self.flame_opt.init(fp))
+                # co-opt leash anchor (one trainer = one run; see
+                # AvatarTrainer.init_state)
+                self._flame_anchor = dict(fp)
             state = state._replace(flame_params=fp, flame_opt_state=fos)
         return state
 
@@ -230,6 +233,17 @@ class ShardedAvatarTrainer:
             f_updates, flame_opt_state = self.flame_opt.update(
                 flame_grads, state.flame_opt_state, flame0)
             flame_p = optax.apply_updates(flame0, f_updates)
+            beta = float(getattr(self.cfg, "flame_anchor_decay", 0.0))
+            if beta > 0.0 and self._flame_anchor is not None:
+                # leash Adam's gradient-noise random walk to the tracked
+                # params — mirrors AvatarTrainer._train_step exactly so the
+                # sharded loss curve stays in parity
+                anchor = self._flame_anchor
+                flame_p = {
+                    k: (anchor[k] + (1.0 - beta) * (v - anchor[k])
+                        if k in anchor else v)
+                    for k, v in flame_p.items()
+                }
 
         # pixel -> NDC gradient units (see AvatarTrainer._train_step)
         gnorm = jnp.linalg.norm(probe_grad, axis=-1) * (
@@ -263,6 +277,7 @@ class ShardedAvatarTrainer:
     _window_capped = False
     _frac_capped = False
     _refit_done = False
+    _flame_anchor = None
 
     def preflight_tile_window(self, state: TrainState, data: dict,
                               n_probe: int = 4) -> None:

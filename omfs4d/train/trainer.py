@@ -502,6 +502,13 @@ class AvatarTrainer:
                 sh_degree=self.cfg.sh_degree,
                 ref_verts=canonical_verts,
             )
+        # anchor for the co-opt leash (TrainConfig.flame_anchor_decay).
+        # Captured by the step trace as a constant: one trainer = one run =
+        # one anchor; init_state always precedes the first step, and a new
+        # run builds a new trainer.
+        self._flame_anchor = (
+            {k: jnp.asarray(v) for k, v in flame_params.items()}
+            if self.co_optimize and flame_params is not None else None)
         return TrainState(
             gaussians=g,
             opt_state=self.optimizer.init(float_fields(g)),
@@ -600,6 +607,17 @@ class AvatarTrainer:
             f_updates, flame_opt_state = self.flame_opt.update(
                 flame_grads, state.flame_opt_state, flame0)
             flame_p = optax.apply_updates(flame0, f_updates)
+            beta = float(getattr(cfg, "flame_anchor_decay", 0.0))
+            if beta > 0.0 and self._flame_anchor is not None:
+                # leash Adam's gradient-noise random walk to the tracked
+                # params (see TrainConfig.flame_anchor_decay); frozen keys
+                # already equal the anchor so the pull is a no-op there
+                anchor = self._flame_anchor
+                flame_p = {
+                    k: (anchor[k] + (1.0 - beta) * (v - anchor[k])
+                        if k in anchor else v)
+                    for k, v in flame_p.items()
+                }
 
         # NDC units: the probe cotangent is d(loss)/d(uv_pixels); CUDA 3DGS
         # thresholds densification on NDC-space gradients (2e-4 default),
@@ -668,6 +686,7 @@ class AvatarTrainer:
     _window_capped = False
     _frac_capped = False
     _refit_done = False
+    _flame_anchor = None
 
     def preflight_tile_window(self, state: TrainState, data: dict,
                               n_probe: int = 4) -> None:

@@ -814,3 +814,37 @@ def test_lr_schedules_cap_at_decay_horizon():
     # legacy stretch behavior stays reachable
     legacy = TrainConfig(iterations=30_000, lr_decay_horizon=0)
     assert float(_position_lr(legacy)(5_000)) > 10 * floor
+
+
+@pytest.mark.slow
+def test_flame_anchor_leashes_noise_walk(scene):
+    """On a PERFECT fit the co-opt gradient is ~noise and Adam walks the
+    global pose at full-LR steps (the 256^2 GT-param collapse); the anchor
+    pull must contain that drift without blocking real corrections (the
+    co-optimization test above still converges under the default leash)."""
+    model, cam, verts, img = scene
+
+    def drift(beta):
+        cfg = TrainConfig(iterations=30, densify_interval=0,
+                          opacity_reset_interval=0, max_gaussians=2048,
+                          optimize_flame=True, lr_flame_pose=5e-3,
+                          lr_flame_warmup=0, flame_anchor_decay=beta)
+        tr = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                           max_per_tile=128, use_pallas="never",
+                           flame_model=model)
+        flame_params = {
+            "shape": jnp.zeros(300), "expr": jnp.zeros((1, 100)),
+            "jaw_pose": jnp.zeros((1, 3)),
+            "translation": jnp.zeros((1, 3)),   # == GT: any move is walk
+        }
+        state = tr.init_state(capacity=2048, flame_params=flame_params)
+        data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
+        for _ in range(cfg.iterations):
+            state, _ = tr._step_fn(state, data, jnp.zeros(1, jnp.int32))
+        return float(jnp.abs(state.flame_params["translation"]).max())
+
+    free = drift(0.0)
+    leashed = drift(0.5)   # strong leash: walk equilibrium ~lr/sqrt(2*beta)
+    assert free > 1e-5     # the walk is real (full-LR Adam steps on noise)
+    assert leashed < free * 0.5
+    assert leashed < 5e-3 / (2 * 0.5) ** 0.5 * 3
