@@ -118,7 +118,16 @@ class TrainConfig:
     # ~4.5 dB despite growing 3x more gaussians
     densify_interval: int = 300
     densify_grad_threshold: float = 2e-4
-    opacity_reset_interval: int = 3000
+    # CUDA 3DGS resets opacity every 3000 iters to kill floaters; under
+    # THIS renderer's depth-sorted per-tile K cap the reset is measurably
+    # destructive at scale: a 30k 512^2 run climbed to 30.4 dB by iter 3000
+    # (densification active and healthy), then every reset ratcheted
+    # quality down (28.6 / 26.1 / 18.9 / 16.4 dB after the 3k/6k/9k/12k
+    # resets) while post-reset gradient chaos drove the densifier to
+    # balloon the cloud 9.6k -> 56k.  The zero-observation prune +
+    # opacity/scale prunes already do the floater cleanup here, so resets
+    # default OFF; set an interval to restore the CUDA cadence.
+    opacity_reset_interval: int = 0
     prune_opacity: float = 5e-3
     prune_scale: float = 8.0        # prune gaussians larger than this (in triangle units)
     # prune gaussians that received ZERO gradient over a whole densify
