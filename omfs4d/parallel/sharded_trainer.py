@@ -161,8 +161,12 @@ class ShardedAvatarTrainer:
                     lambda v: jax.device_put(v, rep),
                     self.flame_opt.init(fp))
                 # co-opt leash anchor (one trainer = one run; see
-                # AvatarTrainer.init_state)
-                self._flame_anchor = dict(fp)
+                # AvatarTrainer.init_state).  Buffer copies, not aliases:
+                # fp's buffers are donated by the jitted step and a dead
+                # anchor constant breaks the next trace.
+                self._flame_anchor = {
+                    k: jax.device_put(jnp.array(v, copy=True), rep)
+                    for k, v in fp.items()}
             state = state._replace(flame_params=fp, flame_opt_state=fos)
         return state
 

@@ -30,31 +30,42 @@ def _band_matrix(n: int, size: int, sigma: float) -> jnp.ndarray:
     return jnp.where(inband, g[jnp.clip(offs, 0, size - 1)], 0.0)
 
 
+def _sep_blur(img: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
+    """Separable gaussian blur as shifted-slice FMA accumulation (VPU).
+
+    Zero padding makes this bitwise-equivalent (modulo sum order) to the
+    truncated band-matrix formulation `_band_matrix` keeps for the parity
+    test: border rows of the band matrix simply lack the out-of-range taps.
+    An 11-tap filter as a (H, H) matmul is ~98% structural zeros at 512^2
+    and needed Precision.HIGHEST (6-pass f32 MXU) to keep the windowed
+    variance from cancelling in bf16; 2*size shifted FMAs over the image do
+    the same math in native-f32 VPU lanes with ~30x fewer FLOPs.
+    """
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    half = size // 2
+    H, W, _ = img.shape
+    p = jnp.pad(img, ((half, half), (0, 0), (0, 0)))
+    img = sum(g[k] * jax.lax.dynamic_slice_in_dim(p, k, H, 0)
+              for k in range(size))
+    p = jnp.pad(img, ((0, 0), (half, half), (0, 0)))
+    return sum(g[k] * jax.lax.dynamic_slice_in_dim(p, k, W, 1)
+               for k in range(size))
+
+
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Windowed SSIM over (H, W, C) images in [0, 1].
 
-    TPU-first formulation: the separable gaussian window is applied as two
-    banded matmuls (blur_H @ img @ blur_W^T), which runs on the MXU.  A
-    depthwise-conv formulation pads C=3 channels to the 128-lane tile on
-    TPU and is dramatically slower.  Border rows/cols (half-window) are
-    excluded from the mean, matching a VALID-padded window.
+    The separable gaussian window is applied as shifted-slice FMA chains
+    (`_sep_blur`) — elementwise VPU work XLA fuses end-to-end.  Border
+    rows/cols (half-window) are excluded from the mean, matching a
+    VALID-padded window.
     """
     H, W, C = pred.shape
-    bh = _band_matrix(H, window_size, 1.5)                      # (H, H)
-    bw = _band_matrix(W, window_size, 1.5)                      # (W, W)
 
     def filt(img):                                              # (H, W, C)
-        # Precision.HIGHEST is load-bearing: with the TPU default the MXU
-        # rounds inputs to bf16, and the windowed variance below
-        # (E[x^2] - mu^2) cancels catastrophically — sig_x + sig_y + c2
-        # goes negative on smooth regions and SSIM explodes (observed as
-        # negative training losses at 256^2 on real hardware).
-        y = jnp.einsum("hk,kwc->hwc", bh, img,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        return jnp.einsum("hkc,wk->hwc", y, bw,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        return _sep_blur(img, window_size, 1.5)
 
     mu_x = filt(pred)
     mu_y = filt(target)
@@ -63,6 +74,13 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, window_size: int = 11) -> jnp.n
     sig_x = jnp.maximum(filt(pred * pred) - mu_x2, 0.0)
     sig_y = jnp.maximum(filt(target * target) - mu_y2, 0.0)
     sig_xy = filt(pred * target) - mu_xy
+    # Cauchy-Schwarz: |cov| <= sqrt(var_x var_y).  Keeps identical images at
+    # SSIM exactly 1 when rounding leaves cov at -eps while the clamped
+    # variances are 0.
+    # stop_gradient: sqrt'(0) is inf and the clip only ever corrects
+    # rounding-scale excess, so the bound path carries no useful gradient
+    bound = jax.lax.stop_gradient(jnp.sqrt(sig_x * sig_y))
+    sig_xy = jnp.clip(sig_xy, -bound, bound)
 
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2

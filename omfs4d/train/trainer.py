@@ -505,9 +505,12 @@ class AvatarTrainer:
         # anchor for the co-opt leash (TrainConfig.flame_anchor_decay).
         # Captured by the step trace as a constant: one trainer = one run =
         # one anchor; init_state always precedes the first step, and a new
-        # run builds a new trainer.
+        # run builds a new trainer.  MUST be a copy, not jnp.asarray: the
+        # caller's arrays become state.flame_params, whose buffers the jitted
+        # step DONATES — an aliased anchor dies with them and the next trace
+        # (chunk fn, window recompile) fails on the dead constant.
         self._flame_anchor = (
-            {k: jnp.asarray(v) for k, v in flame_params.items()}
+            {k: jnp.array(v, copy=True) for k, v in flame_params.items()}
             if self.co_optimize and flame_params is not None else None)
         return TrainState(
             gaussians=g,

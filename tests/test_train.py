@@ -265,6 +265,39 @@ def test_sh_gradients_flow(scene):
     assert np.abs(np.asarray(state.gaussians.sh) - s0).max() > 0
 
 
+def test_flame_anchor_survives_state_donation(scene):
+    """The co-opt leash anchor must hold buffer COPIES of the initial FLAME
+    params: the caller's arrays become the donated training state, and an
+    aliased anchor dies with them — the NEXT trace (the scan-chunk fn, or
+    any window recompile) then fails baking the dead constant.  Regression:
+    the 30k e2e crashed exactly there (step_fn ran, chunk_fn died)."""
+    model, cam, verts, img = scene
+    cfg = TrainConfig(iterations=8, densify_interval=0,
+                      opacity_reset_interval=0, max_gaussians=1024,
+                      optimize_flame=True)
+    trainer = AvatarTrainer(np.asarray(model.faces), cfg, W, H,
+                            max_per_tile=64, use_pallas="never",
+                            flame_model=model)
+    flame_params = {
+        "shape": jnp.zeros(300),
+        "expr": jnp.zeros((1, 100)),
+        "rotation": jnp.zeros((1, 3)),
+        "neck_pose": jnp.zeros((1, 3)),
+        "jaw_pose": jnp.zeros((1, 3)),
+        "eyes_pose": jnp.zeros((1, 6)),
+        "translation": jnp.zeros((1, 3)),
+    }
+    state = trainer.init_state(capacity=1024, flame_params=flame_params)
+    data = {k: jnp.asarray(v) for k, v in _data(cam, verts, img).items()}
+    data["verts"] = jnp.zeros((1, 1, 3))  # co-opt derives verts
+    # step 1 donates the init buffers; the chunk fn is a FRESH trace that
+    # re-bakes the anchor constant — it must still be alive
+    state, _ = trainer._step_fn(state, data, jnp.zeros(1, jnp.int32))
+    state, _ = trainer._chunk_fn(state, data,
+                                 jnp.zeros((2, 1), jnp.int32))
+    assert np.isfinite(float(state.flame_params["jaw_pose"][0, 0]))
+
+
 @pytest.mark.slow
 def test_flame_co_optimization(scene):
     """cfg.optimize_flame refines tracked params jointly with gaussians —
@@ -671,11 +704,27 @@ def test_reset_opacity_is_moment_surgery(scene):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_sep_blur_matches_band_matrix():
+    """The shifted-FMA separable blur must equal the truncated band-matrix
+    formulation it replaced (borders included: zero padding == the band
+    matrix's missing out-of-range taps)."""
+    from omfs4d.train.losses import _band_matrix, _sep_blur
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (37, 52, 3)), jnp.float32)
+    bh = _band_matrix(37, 11, 1.5)
+    bw = _band_matrix(52, 11, 1.5)
+    ref = jnp.einsum("hk,kwc->hwc", bh, img)
+    ref = jnp.einsum("hkc,wk->hwc", ref, bw)
+    got = _sep_blur(img, 11, 1.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_dssim_bounded_on_smooth_images():
     """D-SSIM must stay in [0, 1]: the windowed variance E[x^2] - mu^2 is
-    clamped at 0 (on TPU, bf16 matmul rounding once drove it negative on
-    smooth regions, exploding SSIM and destabilizing training — the blur
-    einsums now pin Precision.HIGHEST)."""
+    clamped at 0 (on TPU, matmul-formulation bf16 rounding once drove it
+    negative on smooth regions, exploding SSIM and destabilizing training;
+    the VPU shifted-FMA blur is native f32 but the clamp stays)."""
     from omfs4d.train.losses import dssim_loss, ssim
     rng = np.random.default_rng(0)
     flat = jnp.full((96, 96, 3), 0.73, jnp.float32)
