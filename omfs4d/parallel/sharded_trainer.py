@@ -35,6 +35,7 @@ from omfs4d.train.trainer import (
     TrainState,
     _flame_lr,
     densify_prune_arrays,
+    densify_until_iter,
     float_fields,
     make_optimizer,
     probe_tile_spans,
@@ -498,7 +499,7 @@ class ShardedAvatarTrainer:
         key = jax.random.PRNGKey(rng_seed)
         T = data["images"].shape[0]
         data = {k: jnp.asarray(v) for k, v in data.items()}
-        densify_until = int(iterations * cfg.densify_until_frac)
+        densify_until = densify_until_iter(cfg, iterations)
         save_iters = sorted({max(iterations // 4, 1),
                              max(iterations // 2, 1), iterations})
         if start_iteration == 0:

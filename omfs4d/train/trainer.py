@@ -109,6 +109,24 @@ def _decay_horizon(cfg: TrainConfig) -> int:
     return max(min(horizon, cfg.iterations), 1)
 
 
+def densify_until_iter(cfg: TrainConfig, iterations: int) -> int:
+    """Last iteration at which densification (and its cadenced siblings)
+    may fire.
+
+    Capped at the decay horizon, not just `iterations`: densification is
+    LR-schedule-coupled.  Past the horizon every position LR sits at its
+    floor, so splats can no longer move to absorb residual error — the
+    probe-gradient densifier becomes the only error-reduction mechanism
+    left and runs away (observed live at 512²/30k: alive 9.6k -> 113k by
+    iter 11.5k while per-step PSNR fell 19 -> 13 dB as the per-tile K cap
+    saturated; docs/training_stability.md §4).  With the cap, a
+    longer-than-horizon run is exactly the validated horizon-length run
+    plus pure floor-LR polish."""
+    horizon = int(getattr(cfg, "lr_decay_horizon", 0))
+    span = min(iterations, horizon) if horizon > 0 else iterations
+    return int(span * cfg.densify_until_frac)
+
+
 def _position_lr(cfg: TrainConfig):
     """CUDA 3DGS decays position_lr exponentially (1.6e-4 -> 1.6e-6 over
     its FIXED 30k horizon); lr_position_final_scale=1.0 keeps the legacy
@@ -964,7 +982,7 @@ class AvatarTrainer:
 
         save_iters = sorted({max(iterations // 4, 1), max(iterations // 2, 1),
                              iterations})
-        densify_until = int(iterations * cfg.densify_until_frac)
+        densify_until = densify_until_iter(cfg, iterations)
 
         for it in range(1, start_iteration + 1):
             rng.integers(0, T, size=(B,))

@@ -865,6 +865,25 @@ def test_lr_schedules_cap_at_decay_horizon():
     assert float(_position_lr(legacy)(5_000)) > 10 * floor
 
 
+def test_densify_horizon_capped_with_lr_schedule():
+    """Densification must stop where the validated schedule stopped it, not
+    stretch with `iterations`: past the decay horizon positions sit at
+    floor LR, the probe-gradient densifier becomes the only
+    error-reduction mechanism and runs away (live 512²/30k run: alive
+    9.6k -> 113k by iter 11.5k, per-step PSNR 19 -> 13 as the K cap
+    saturated)."""
+    from omfs4d.train.trainer import densify_until_iter
+
+    cfg = TrainConfig(iterations=30_000)          # horizon 5000, frac 0.5
+    assert densify_until_iter(cfg, 30_000) == 2_500
+    # inside the horizon the behavior is unchanged
+    assert densify_until_iter(cfg, 5_000) == 2_500
+    assert densify_until_iter(cfg, 2_000) == 1_000
+    # legacy (no horizon) stretches as before
+    legacy = TrainConfig(iterations=30_000, lr_decay_horizon=0)
+    assert densify_until_iter(legacy, 30_000) == 15_000
+
+
 @pytest.mark.slow
 def test_flame_anchor_leashes_noise_walk(scene):
     """On a PERFECT fit the co-opt gradient is ~noise and Adam walks the
