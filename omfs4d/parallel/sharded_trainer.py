@@ -242,7 +242,11 @@ class ShardedAvatarTrainer:
             if beta > 0.0 and self._flame_anchor is not None:
                 # leash Adam's gradient-noise random walk to the tracked
                 # params — mirrors AvatarTrainer._train_step exactly so the
-                # sharded loss curve stays in parity
+                # sharded loss curve stays in parity (incl. the per-visit
+                # beta normalization; see the replicated trainer's comment)
+                T_frames = int(data["images"].shape[0])
+                beta = 1.0 - (1.0 - beta) ** (
+                    max(self.batch, 1) / max(T_frames, 1))
                 anchor = self._flame_anchor
                 flame_p = {
                     k: (anchor[k] + (1.0 - beta) * (v - anchor[k])

@@ -632,7 +632,17 @@ class AvatarTrainer:
             if beta > 0.0 and self._flame_anchor is not None:
                 # leash Adam's gradient-noise random walk to the tracked
                 # params (see TrainConfig.flame_anchor_decay); frozen keys
-                # already equal the anchor so the pull is a no-op there
+                # already equal the anchor so the pull is a no-op there.
+                # Per-VISIT normalization: the pull applies to every frame's
+                # params every step, but a frame's gradient only arrives
+                # ~(B/T) of steps — an unnormalized per-step pull tightens
+                # the equilibrium to lr/(beta*T/B), which at T=60 froze
+                # co-optimization entirely (refined params moved <0.002 in
+                # a full 30k run; the leash is meant to allow ~lr/beta of
+                # consistent correction).
+                T_frames = int(data["images"].shape[0])
+                visits = max(cfg.batch_frames, 1) / max(T_frames, 1)
+                beta = 1.0 - (1.0 - beta) ** visits
                 anchor = self._flame_anchor
                 flame_p = {
                     k: (anchor[k] + (1.0 - beta) * (v - anchor[k])
